@@ -1,0 +1,43 @@
+"""ital_tpu — a TPU-native framework for interactive content-based image retrieval
+with information-theoretic active learning.
+
+A from-scratch, TPU-first rebuild of the capabilities of the reference framework
+``cvjena/ITAL`` (Barz, Käding, Denzler: "Information-Theoretic Active Learning for
+Content-Based Image Retrieval", GCPR 2018).  Nothing here is a port: the compute
+path is JAX/XLA/Pallas with static shapes, vmapped candidate scoring, and
+``shard_map`` data parallelism over a TPU mesh instead of the reference's
+NumPy/SciPy + multiprocessing design.
+
+Package layout
+--------------
+``ops``       TPU compute primitives: blockwise/fused RBF kernel, padded Cholesky
+              with incremental low-rank updates, Genz QMC multivariate-normal
+              orthant probabilities, masked top-k.
+``models``    The GP relevance model (``GPState``) and the active-retrieval
+              session state built on it.
+``select``    Selection strategies: ITAL mutual-information batch selection, the
+              classical active-learning baselines, and the regression variant.
+``parallel``  Device mesh construction, sharded per-round computation, collective
+              argmax/top-k over ICI.
+``data``      Dataset loaders (toy Gaussians, digits/USPS, MIRFLICKR-25K
+              features) and the seeded noisy/skipping simulated user.
+``utils``     Configs, metrics (AP/MAP/recall), JSONL logging, checkpointing.
+
+Reference parity map (reference paths are ``file :: symbol`` in cvjena/ITAL; see
+SURVEY.md — the reference mount was empty, so citations are to the public repo):
+
+=====================  ==========================================
+ital_tpu module        reference counterpart
+=====================  ==========================================
+models.gp              italia/gp.py :: GaussianProcess
+models.session         italia/retrieval_base.py :: ActiveRetrievalBase
+select.ital            italia/ital.py :: ITAL
+select.baselines       italia/baseline_methods.py
+select.regression      italia/regression.py (regression variant)
+data.datasets          italia/datasets.py
+data.user              run_experiment.py (simulated user)
+runner                 run_experiment.py
+=====================  ==========================================
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,131 @@
+"""GP relevance model vs the dense NumPy oracle; incremental update vs refit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ital_tpu.models import gp as gp_mod
+from tests.oracle.numpy_oracle import OracleGP
+
+LS, VAR, NOISE = 1.2, 1.0, 0.1
+
+
+def _setup(rng, n=80, d=6, cap=16):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    state = gp_mod.gp_init(jnp.asarray(x), LS, VAR, NOISE, cap)
+    oracle = OracleGP(x, LS, VAR, NOISE)
+    return x, state, oracle
+
+
+def test_fit_matches_oracle(rng):
+    x, state, oracle = _setup(rng)
+    lab = [3, 17, 42, 55]
+    ys = [1.0, -1.0, 1.0, -1.0]
+
+    state = state.replace(
+        idx=state.idx.at[: len(lab)].set(jnp.asarray(lab, jnp.int32)),
+        y=state.y.at[: len(lab)].set(jnp.asarray(ys, jnp.float32)),
+        valid=state.valid.at[: len(lab)].set(True),
+        count=jnp.asarray(len(lab), jnp.int32),
+    )
+    state = gp_mod.gp_fit(state)
+    oracle.fit(lab, ys)
+
+    mu_o, sig2_o = oracle.predict_diag()
+    np.testing.assert_allclose(np.asarray(state.mu), mu_o, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(state.sig2), sig2_o, rtol=5e-3, atol=1e-2)
+
+    sel = [0, 9, 3, 61]
+    mu_full, cov_full = gp_mod.gp_predict_full(state, jnp.asarray(sel))
+    np.testing.assert_allclose(np.asarray(mu_full), oracle.predict_mean(sel), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(cov_full), oracle.predict_cov(sel), atol=5e-3)
+
+
+def test_set_query_then_update_matches_oracle(rng):
+    x, state, oracle = _setup(rng)
+    q = 7
+    state = gp_mod.gp_set_query(state, jnp.asarray(q))
+    oracle.fit([q], [1.0])
+    np.testing.assert_allclose(np.asarray(state.mu), oracle.predict_mean(), atol=5e-3)
+
+    # Round 1: user labels 2 of 3 shown items (one skip).
+    shown = [12, 30, 51]
+    labels = [1.0, -1.0, 1.0]
+    valid = [True, False, True]
+    state = gp_mod.gp_update(
+        state,
+        jnp.asarray(shown, jnp.int32),
+        jnp.asarray(labels, jnp.float32),
+        jnp.asarray(valid),
+    )
+    oracle.fit([q, 12, 51], [1.0, 1.0, 1.0])
+    mu_o, sig2_o = oracle.predict_diag()
+    np.testing.assert_allclose(np.asarray(state.mu), mu_o, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(state.sig2), sig2_o, rtol=5e-3, atol=5e-3)
+
+    # Round 2: more labels; incremental must still track the oracle.
+    state = gp_mod.gp_update(
+        state,
+        jnp.asarray([2, 64], jnp.int32),
+        jnp.asarray([-1.0, -1.0], jnp.float32),
+        jnp.asarray([True, True]),
+    )
+    oracle.fit([q, 12, 51, 2, 64], [1.0, 1.0, 1.0, -1.0, -1.0])
+    mu_o, _ = oracle.predict_diag()
+    np.testing.assert_allclose(np.asarray(state.mu), mu_o, rtol=5e-3, atol=5e-3)
+
+
+def test_incremental_update_equals_refit(rng):
+    x, state, _ = _setup(rng)
+    state = gp_mod.gp_set_query(state, jnp.asarray(5))
+    new_idx = jnp.asarray([10, 20, 33, 47], jnp.int32)
+    new_y = jnp.asarray([1.0, -1.0, 1.0, -1.0], jnp.float32)
+    new_valid = jnp.asarray([True, True, False, True])
+
+    inc = gp_mod.gp_update(state, new_idx, new_y, new_valid)
+
+    appended = state.replace(
+        idx=jax.lax.dynamic_update_slice(state.idx, new_idx, (state.count,)),
+        y=jax.lax.dynamic_update_slice(
+            state.y, jnp.where(new_valid, new_y, 0.0), (state.count,)
+        ),
+        valid=jax.lax.dynamic_update_slice(state.valid, new_valid, (state.count,)),
+        count=state.count + 4,
+    )
+    ref = gp_mod.gp_fit(appended)
+
+    np.testing.assert_allclose(np.asarray(inc.l), np.asarray(ref.l), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(inc.beta), np.asarray(ref.beta), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(inc.v), np.asarray(ref.v), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(inc.mu), np.asarray(ref.mu), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(inc.sig2), np.asarray(ref.sig2), atol=1e-3)
+
+
+def test_updated_mean_delta_matches_oracle_refit(rng):
+    x, state, oracle = _setup(rng)
+    state = gp_mod.gp_set_query(state, jnp.asarray(5))
+    oracle.fit([5], [1.0])
+
+    cand, y_hyp = 22, -1.0
+    delta = np.asarray(gp_mod.gp_updated_mean_delta(state, jnp.asarray(cand), y_hyp))
+
+    mu_before = oracle.predict_mean()
+    oracle.fit([5, cand], [1.0, y_hyp])
+    mu_after = oracle.predict_mean()
+    np.testing.assert_allclose(delta, mu_after - mu_before, rtol=5e-3, atol=5e-3)
+
+
+def test_fit_functions_jit_once(rng):
+    """fit/update must not recompile as count grows (static-shape discipline)."""
+    x, state, _ = _setup(rng)
+    update = jax.jit(gp_mod.gp_update)
+    state = gp_mod.gp_set_query(state, jnp.asarray(0))
+    for r in range(3):
+        state = update(
+            state,
+            jnp.asarray([1 + 3 * r, 2 + 3 * r, 3 + 3 * r], jnp.int32),
+            jnp.asarray([1.0, -1.0, 1.0], jnp.float32),
+            jnp.asarray([True, True, True]),
+        )
+    assert update._cache_size() == 1
+    assert int(state.count) == 10

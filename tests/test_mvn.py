@@ -1,0 +1,78 @@
+"""Genz QMC MVN orthant probabilities vs closed forms and scipy's MVNDST."""
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ital_tpu.ops.mvn import mvn_orthant_prob, orthant_probs_all_configs
+from tests.oracle.numpy_oracle import mvn_orthant
+
+
+def _chol(cov):
+    return jnp.asarray(np.linalg.cholesky(cov).astype(np.float32))
+
+
+def test_univariate_closed_form():
+    mu = jnp.asarray([0.7], jnp.float32)
+    cov = np.array([[2.0]])
+    from scipy.stats import norm
+
+    p_pos = float(mvn_orthant_prob(mu, _chol(cov), jnp.asarray([1.0])))
+    assert p_pos == pytest.approx(norm.sf(0, loc=0.7, scale=np.sqrt(2.0)), abs=2e-5)
+    p_neg = float(mvn_orthant_prob(mu, _chol(cov), jnp.asarray([-1.0])))
+    assert p_neg == pytest.approx(1 - norm.sf(0, loc=0.7, scale=np.sqrt(2.0)), abs=2e-5)
+
+
+def test_bivariate_known_value():
+    # Centered equicorrelated bivariate: P(z1>0, z2>0) = 1/4 + asin(rho)/(2 pi).
+    rho = 0.5
+    cov = np.array([[1.0, rho], [rho, 1.0]])
+    p = float(mvn_orthant_prob(jnp.zeros(2), _chol(cov), jnp.asarray([1.0, 1.0]),
+                               n_points=512))
+    assert p == pytest.approx(0.25 + np.arcsin(rho) / (2 * np.pi), abs=2e-3)
+
+
+@pytest.mark.parametrize("m", [2, 3, 4, 5])
+def test_against_scipy_genz(rng, m):
+    """Random means/covariances, all 2^m orthants, vs scipy MVNDST."""
+    for trial in range(3):
+        a = rng.normal(size=(m, m))
+        cov = a @ a.T + m * np.eye(m)
+        mu = rng.normal(size=(m,)) * 0.8
+        chol = _chol(cov)
+        for signs in itertools.product([-1.0, 1.0], repeat=m):
+            ours = float(
+                mvn_orthant_prob(
+                    jnp.asarray(mu, jnp.float32), chol, jnp.asarray(signs),
+                    n_points=256,
+                )
+            )
+            ref = mvn_orthant(mu, cov, signs)
+            assert ours == pytest.approx(ref, abs=4e-3), (m, trial, signs)
+
+
+def test_all_configs_normalized(rng):
+    m = 4
+    a = rng.normal(size=(m, m))
+    cov = a @ a.T + np.eye(m)
+    mu = rng.normal(size=(m,))
+    table = jnp.asarray(list(itertools.product([-1.0, 1.0], repeat=m)), jnp.float32)
+    p = orthant_probs_all_configs(
+        jnp.asarray(mu, jnp.float32), _chol(cov), table, n_points=128
+    )
+    assert float(jnp.sum(p)) == pytest.approx(1.0, abs=1e-5)
+    assert float(jnp.min(p)) >= 0.0
+    # Normalized probs still track scipy orthant probabilities.
+    ref = np.array([mvn_orthant(mu, cov, np.asarray(s)) for s in np.asarray(table)])
+    ref = ref / ref.sum()
+    np.testing.assert_allclose(np.asarray(p), ref, atol=5e-3)
+
+
+def test_degenerate_covariance_does_not_nan():
+    m = 3
+    cov = np.full((m, m), 0.999999) + 1e-6 * np.eye(m)  # nearly rank-1
+    chol = jnp.asarray(np.linalg.cholesky(cov).astype(np.float32))
+    p = mvn_orthant_prob(jnp.zeros(m), chol, jnp.asarray([1.0, -1.0, 1.0]))
+    assert np.isfinite(float(p))
