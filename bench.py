@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Headline benchmark: ITAL MI batch-selection ms/round on MIRFLICKR-25K scale.
+
+BASELINE.md operative target: >=10x faster MI batch selection per round than the
+CPU reference on MIRFLICKR-25K (25 000 images, CNN features, batch_size=4) at
+identical MAP-vs-rounds curves on TPU.  The reference publishes no numbers
+(``BASELINE.json "published": {}``), so the CPU denominator is measured here,
+every run, from the NumPy/SciPy oracle implementation (tests/oracle) that
+mirrors the reference's computational shape — per-candidate Python loop over
+scipy's Fortran MVNDST, fanned out over a ``multiprocessing.Pool`` like the
+reference's ``parallelized`` mode.  The CPU cost is measured on a candidate
+subsample and scaled linearly (the loop is embarrassingly parallel and
+per-candidate-dominated); the TPU number is measured in full.
+
+Prints ONE JSON line:
+  {"metric": "mi_selection_ms_per_round_mirflickr25k_b4",
+   "value": <tpu ms/round>, "unit": "ms", "vs_baseline": <cpu_ms / tpu_ms>}
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+import numpy as np
+
+BATCH = 4
+N_QMC = 128
+CAP = 64
+CPU_SAMPLE = 96  # candidates per greedy step timed on CPU, then scaled
+LS, VAR, NOISE = 12.0, 1.0, 0.1
+LABEL_PROB, MISTAKE_PROB = 0.8, 0.05
+
+
+def _corpus():
+    from ital_tpu.data.datasets import mirflickr
+
+    ds = mirflickr()  # stored features if present, surrogate otherwise
+    return ds
+
+
+def _labeled_history(ds, rng):
+    """A mid-session labeled set: query + 5 rounds x 4 labels."""
+    q = int(rng.integers(0, ds.n))
+    cls = int(np.argmax(ds.relevance[q])) if ds.relevance[q].any() else 0
+    idx = [q]
+    ys = [1.0]
+    pool = rng.permutation(ds.n)[: 5 * BATCH]
+    for i in pool:
+        idx.append(int(i))
+        ys.append(1.0 if ds.relevance[i, cls] else -1.0)
+    return idx, ys
+
+
+def time_tpu(ds, idx, ys) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from ital_tpu.models import gp as gp_mod
+    from ital_tpu.select.base import StrategyParams
+    from ital_tpu.select.ital import select_ital
+
+    state = gp_mod.gp_init(jnp.asarray(ds.x), LS, VAR, NOISE, CAP)
+    k = len(idx)
+    state = state.replace(
+        idx=state.idx.at[:k].set(jnp.asarray(idx, jnp.int32)),
+        y=state.y.at[:k].set(jnp.asarray(ys, jnp.float32)),
+        valid=state.valid.at[:k].set(True),
+        count=jnp.asarray(k, jnp.int32),
+    )
+    state = gp_mod.gp_fit(state)
+    params = StrategyParams(
+        label_prob=jnp.asarray(LABEL_PROB), mistake_prob=jnp.asarray(MISTAKE_PROB)
+    )
+    select = jax.jit(
+        lambda s, key: select_ital(s, BATCH, key, params, n_qmc=N_QMC)
+    )
+    key = jax.random.PRNGKey(0)
+    select(state, key).block_until_ready()  # compile
+    reps = 5
+    t0 = time.perf_counter()
+    for r in range(reps):
+        select(state, jax.random.fold_in(key, r)).block_until_ready()
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def time_cpu(ds, idx, ys, tpu_batch) -> float:
+    """CPU reference ms/round, oracle implementation, Pool-parallel, subsampled."""
+    from tests.oracle.numpy_oracle import OracleGP, mutual_information
+
+    rng = np.random.default_rng(0)
+    gp = OracleGP(ds.x, LS, VAR, NOISE)
+    gp.fit(idx, ys)
+    n_cand = ds.n - len(idx)
+
+    total_s = 0.0
+    nproc = min(mp.cpu_count(), 16)
+    for t in range(BATCH):
+        batch = list(tpu_batch[:t])
+        cands = rng.choice(ds.n, size=CPU_SAMPLE, replace=False)
+        sels = [batch + [int(c)] for c in cands]
+        t0 = time.perf_counter()
+        for sel in sels:
+            mu = gp.predict_mean(sel)
+            cov = gp.predict_cov(sel) + 1e-6 * np.eye(len(sel))
+            mutual_information(mu, cov, LABEL_PROB, MISTAKE_PROB)
+        dt = time.perf_counter() - t0
+        # Scale subsample -> full candidate pool, assume ideal Pool speedup
+        # across nproc workers (generous to the CPU baseline).
+        total_s += dt * (n_cand / CPU_SAMPLE) / nproc
+    return total_s * 1e3
+
+
+def main() -> int:
+    rng = np.random.default_rng(7)
+    ds = _corpus()
+    idx, ys = _labeled_history(ds, rng)
+
+    tpu_ms = time_tpu(ds, idx, ys)
+
+    # The CPU pass reuses the final TPU-selected batch as the greedy trajectory.
+    import jax
+    import jax.numpy as jnp
+
+    from ital_tpu.models import gp as gp_mod
+    from ital_tpu.select.base import StrategyParams
+    from ital_tpu.select.ital import select_ital
+
+    state = gp_mod.gp_init(jnp.asarray(ds.x), LS, VAR, NOISE, CAP)
+    k = len(idx)
+    state = gp_mod.gp_fit(
+        state.replace(
+            idx=state.idx.at[:k].set(jnp.asarray(idx, jnp.int32)),
+            y=state.y.at[:k].set(jnp.asarray(ys, jnp.float32)),
+            valid=state.valid.at[:k].set(True),
+            count=jnp.asarray(k, jnp.int32),
+        )
+    )
+    params = StrategyParams(
+        label_prob=jnp.asarray(LABEL_PROB), mistake_prob=jnp.asarray(MISTAKE_PROB)
+    )
+    batch = np.asarray(select_ital(state, BATCH, jax.random.PRNGKey(0), params,
+                                   n_qmc=N_QMC))
+
+    cpu_ms = time_cpu(ds, idx, ys, batch)
+
+    print(json.dumps({
+        "metric": "mi_selection_ms_per_round_mirflickr25k_b4",
+        "value": round(tpu_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(cpu_ms / tpu_ms, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -79,6 +79,10 @@ class GPState:
     mu: jax.Array
     sig2: jax.Array
     hyper: GPHyper
+    # Optional corpus information-density vector (N,), used by density-weighted
+    # baselines — compute once per dataset via ``corpus_density`` and attach
+    # with ``state.replace(density=...)``.
+    density: Optional[jax.Array] = None
 
     @property
     def active(self) -> jax.Array:
@@ -283,6 +287,30 @@ def gp_posterior_cov_columns(state: GPState, ind: jax.Array) -> jax.Array:
     return k_cross - jnp.dot(
         state.v.T, state.v[:, ind], preferred_element_type=jnp.float32
     ).astype(state.x.dtype)
+
+
+def corpus_density(state: GPState, *, block_rows: int = 2048) -> jax.Array:
+    """(N,) information density: mean RBF similarity of each point to the corpus.
+
+    Used by density-weighted baselines (SUD / TCAL / AdaptAL; reference:
+    ``italia/baseline_methods.py``).  Depends only on the features, so callers
+    should compute it once per dataset and reuse it.  Blockwise — never
+    materializes N x N at once.
+    """
+    from ital_tpu.ops.kernels import rbf_kernel
+
+    x = state.x
+    n = x.shape[0]
+    nblocks = -(-n // block_rows)
+    pad = nblocks * block_rows - n
+    xb = jnp.pad(x, ((0, pad), (0, 0))).reshape(nblocks, block_rows, x.shape[1])
+    means = jax.lax.map(
+        lambda blk: jnp.mean(
+            rbf_kernel(blk, x, state.hyper.length_scale, 1.0), axis=1
+        ),
+        xb,
+    )
+    return means.reshape(nblocks * block_rows)[:n]
 
 
 def gp_updated_mean_delta(

@@ -1,0 +1,122 @@
+"""Interactive retrieval session — the user-facing API.
+
+Reference parity: ``italia/retrieval_base.py :: ActiveRetrievalBase`` (SURVEY.md
+C2): holds the dataset + GP + current query + labeled sets, applies feedback
+rounds, ranks the corpus, and exposes ``fetch_unlabelled(k)`` through the
+configured selection strategy.
+
+This is the convenience wrapper for interactive use; the experiment runner
+(:mod:`ital_tpu.runner`) bypasses it and fuses whole rounds into single
+compiled steps.  The underlying state is the functional ``GPState``; this class
+only adds bookkeeping and index conversion, so sessions remain serializable and
+the hot path stays jitted.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ital_tpu.models import gp as gp_mod
+from ital_tpu.select.base import StrategyParams, get_strategy
+
+
+class ActiveRetrieval:
+    """One interactive retrieval session over a fixed corpus.
+
+    Usage (mirrors the reference's loop, SURVEY.md section 3.1)::
+
+        sess = ActiveRetrieval(x, length_scale=2.0, var=1.0, noise=0.1, cap=64)
+        sess.update_query(q)
+        batch = sess.fetch_unlabelled(4)          # show these to the user
+        sess.update({batch[0]: 1, batch[1]: -1})  # feedback (missing = skipped)
+        ranking = sess.top_k(20)
+    """
+
+    def __init__(
+        self,
+        x,
+        *,
+        length_scale: float,
+        var: float = 1.0,
+        noise: float = 0.1,
+        cap: int = 64,
+        strategy: str = "ital",
+        label_prob: float = 1.0,
+        mistake_prob: float = 0.0,
+        tradeoff: float = 0.5,
+        with_density: bool = False,
+        seed: int = 0,
+    ):
+        x = jnp.asarray(x)
+        self.state = gp_mod.gp_init(x, length_scale, var, noise, cap)
+        if with_density:
+            self.state = self.state.replace(density=gp_mod.corpus_density(self.state))
+        self.strategy_name = strategy
+        self._select = get_strategy(strategy)
+        self.params = StrategyParams(
+            label_prob=jnp.asarray(label_prob),
+            mistake_prob=jnp.asarray(mistake_prob),
+            tradeoff=jnp.asarray(tradeoff),
+        )
+        self._key = jax.random.PRNGKey(seed)
+        self.query: Optional[int] = None
+
+    # -- reference-parity surface ------------------------------------------
+
+    def update_query(self, query_idx: int) -> None:
+        """Reset the session to a new query image (counted as a +1 label)."""
+        self.query = int(query_idx)
+        self.state = gp_mod.gp_set_query(self.state, jnp.asarray(query_idx))
+
+    def fetch_unlabelled(self, k: int) -> np.ndarray:
+        """Next batch of k candidate indices to show the user."""
+        self._key, sub = jax.random.split(self._key)
+        batch = self._select(self.state, k, sub, self.params)
+        return np.asarray(batch)
+
+    def update(self, feedback: Dict[int, int]) -> None:
+        """Apply one round of user feedback and refresh the posterior.
+
+        ``feedback``: corpus index -> label in {-1, +1}; items shown but absent
+        from the dict (or mapped to 0/None) are treated as skipped.  Matches the
+        reference's ``ActiveRetrievalBase.update(feedback_dict)``.
+        """
+        if not feedback:
+            return
+        idx = np.fromiter(feedback.keys(), dtype=np.int32)
+        raw = [0 if v is None else int(v) for v in feedback.values()]
+        y = np.asarray(raw, dtype=np.float32)
+        valid = y != 0
+        self.state = gp_mod.gp_update(
+            self.state, jnp.asarray(idx), jnp.asarray(y), jnp.asarray(valid)
+        )
+
+    def scores(self) -> np.ndarray:
+        """Relevance scores (GP posterior mean) for the whole corpus."""
+        return np.asarray(self.state.mu)
+
+    def top_k(self, k: int, exclude_labeled: bool = True) -> np.ndarray:
+        """Top-k retrieval by posterior mean (the reference's ranking step)."""
+        scores = self.state.mu
+        if exclude_labeled:
+            from ital_tpu.select.base import labeled_mask
+
+            scores = jnp.where(labeled_mask(self.state), -jnp.inf, scores)
+        return np.asarray(jax.lax.top_k(scores, k)[1])
+
+    @property
+    def relevant_ids(self) -> np.ndarray:
+        """Indices the user has labeled relevant (reference attribute)."""
+        st = self.state
+        act = np.asarray(st.active)
+        return np.asarray(st.idx)[act & (np.asarray(st.y) > 0)]
+
+    @property
+    def irrelevant_ids(self) -> np.ndarray:
+        st = self.state
+        act = np.asarray(st.active)
+        return np.asarray(st.idx)[act & (np.asarray(st.y) < 0)]

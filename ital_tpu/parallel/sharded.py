@@ -1,0 +1,297 @@
+"""Sharded feedback rounds: corpus-parallel MI scan with explicit ICI collectives.
+
+BASELINE.json config 5: "100k-image corpus: blockwise RBF kernel + MI scoring
+sharded across v5e-8 via ICI psum".  The corpus axis is sharded over the mesh:
+
+=====================  =========================  =======================
+array                  shape                      sharding (axis 'data')
+=====================  =========================  =======================
+features ``x``         (N, D)                     rows sharded
+whitened kernel ``v``  (cap, N)                   columns sharded
+``mu`` / ``sig2``      (N,)                       sharded
+label buffers, ``l``,  (cap, ...), scalars        replicated
+``beta``, ``count``
+=====================  =========================  =======================
+
+Each chip scores ITS corpus shard's candidates (the same
+:func:`ital_tpu.select.ital.mi_scores_from_moments` core as the single-device
+path); the only cross-chip traffic per greedy step is an O(cap x b) feature/
+kernel-column gather (``psum`` of masked local contributions) and an O(n_dev)
+``all_gather`` of per-shard argmax winners — all over ICI.  The GP update runs
+through the regular :func:`ital_tpu.models.gp.gp_update` with a collective
+``gather`` closure injected, so sharded and single-device posteriors are the
+same code path (tested bit-close in ``tests/test_sharded.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ital_tpu.data.user import simulate_feedback
+from ital_tpu.models import gp as gp_mod
+from ital_tpu.models.gp import GPState
+from ital_tpu.parallel.mesh import CORPUS_AXIS
+from ital_tpu.select.base import StrategyParams
+from ital_tpu.select.ital import mi_scores_from_moments
+from ital_tpu.utils.metrics import average_precision
+
+
+def pad_to_devices(x, n_dev: int, *, axis: int = 0):
+    """Pad ``x`` with zero rows so axis 0 divides evenly across ``n_dev`` shards.
+
+    Returns ``(padded, n_real)``; callers must mask the pad positions out of
+    selection and metrics (see ``make_masks``).
+    """
+    import numpy as np
+
+    n = x.shape[axis]
+    n_pad = (-n) % n_dev
+    if n_pad == 0:
+        return x, n
+    pad_width = [(0, 0)] * x.ndim
+    pad_width[axis] = (0, n_pad)
+    return np.pad(np.asarray(x), pad_width), n
+
+
+def make_masks(n_padded: int, n_real: int, query: int):
+    """(sel_forbid, ap_exclude): pad rows are unselectable and outside the metric;
+    the query is additionally excluded from the AP ranking (reference protocol)."""
+    pad = jnp.arange(n_padded) >= n_real
+    ap_exclude = pad.at[query].set(True)
+    return pad, ap_exclude
+
+
+def state_pspecs(state: GPState) -> GPState:
+    """PartitionSpec pytree matching the table in the module docstring."""
+    ax = CORPUS_AXIS
+    return GPState(
+        x=P(ax, None),
+        idx=P(), y=P(), valid=P(), count=P(),
+        l=P(), beta=P(),
+        v=P(None, ax),
+        mu=P(ax), sig2=P(ax),
+        hyper=gp_mod.GPHyper(length_scale=P(), var=P(), noise=P()),
+        density=None if state.density is None else P(ax),
+    )
+
+
+def shard_state(state: GPState, mesh) -> GPState:
+    """Lay the state out over the mesh (corpus axis sharded, rest replicated)."""
+    specs = state_pspecs(state)
+    return jax.tree.map(
+        lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
+        state, specs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collective helpers (inside shard_map; axis = CORPUS_AXIS)
+# ---------------------------------------------------------------------------
+
+
+def _offset(shard_n: int) -> jax.Array:
+    return jax.lax.axis_index(CORPUS_AXIS) * shard_n
+
+
+def gather_rows(x_local: jax.Array, gidx: jax.Array) -> jax.Array:
+    """(k,) global corpus indices -> (k, D) replicated rows, via masked psum.
+
+    Each chip contributes the rows it owns (zeros elsewhere); one ICI psum
+    assembles the full block on every chip.
+    """
+    shard_n = x_local.shape[0]
+    rel = gidx.astype(jnp.int32) - _offset(shard_n)
+    ok = (rel >= 0) & (rel < shard_n)
+    rows = x_local[jnp.clip(rel, 0, shard_n - 1)]
+    rows = jnp.where(ok[:, None], rows, 0)
+    return jax.lax.psum(rows, CORPUS_AXIS)
+
+
+def gather_cols(v_local: jax.Array, gidx: jax.Array) -> jax.Array:
+    """(k,) global indices -> (cap, k) replicated columns of the sharded ``v``."""
+    shard_n = v_local.shape[1]
+    rel = gidx.astype(jnp.int32) - _offset(shard_n)
+    ok = (rel >= 0) & (rel < shard_n)
+    cols = v_local[:, jnp.clip(rel, 0, shard_n - 1)]
+    cols = jnp.where(ok[None, :], cols, 0)
+    return jax.lax.psum(cols, CORPUS_AXIS)
+
+
+def gather_scalars(s_local: jax.Array, gidx: jax.Array) -> jax.Array:
+    """(k,) global indices -> (k,) replicated entries of a sharded vector."""
+    shard_n = s_local.shape[0]
+    rel = gidx.astype(jnp.int32) - _offset(shard_n)
+    ok = (rel >= 0) & (rel < shard_n)
+    vals = jnp.where(ok, s_local[jnp.clip(rel, 0, shard_n - 1)], 0)
+    return jax.lax.psum(vals, CORPUS_AXIS)
+
+
+def global_argmax(scores_local: jax.Array) -> jax.Array:
+    """Argmax over the full sharded vector; ties break to the lowest index,
+    matching ``jnp.argmax`` on the unsharded array."""
+    shard_n = scores_local.shape[0]
+    li = jnp.argmax(scores_local)
+    lv = scores_local[li]
+    gi = (li + _offset(shard_n)).astype(jnp.int32)
+    vs = jax.lax.all_gather(lv, CORPUS_AXIS)  # (n_dev,)
+    gs = jax.lax.all_gather(gi, CORPUS_AXIS)
+    return gs[jnp.argmax(vs)]
+
+
+def local_slot_mask(state: GPState, *, extra_forbid: jax.Array) -> jax.Array:
+    """This shard's 'do not select' mask: labeled slots owned here + pad rows."""
+    shard_n = state.x.shape[0]
+    rel = state.idx - _offset(shard_n)
+    ok = (rel >= 0) & (rel < shard_n)
+    slot_ids = jnp.arange(state.cap)
+    slot_excl = ok & (slot_ids < state.count) & state.valid
+    mask = (
+        jnp.zeros((shard_n,), jnp.int32)
+        .at[jnp.clip(rel, 0, shard_n - 1)]
+        .add(slot_excl.astype(jnp.int32))
+        > 0
+    )
+    return mask | extra_forbid
+
+
+# ---------------------------------------------------------------------------
+# Sharded selection strategies (local scores -> collective greedy argmax)
+# ---------------------------------------------------------------------------
+
+
+def _sharded_ital_scores(state, batch, t, params, n_qmc):
+    """Local-shard MI scores for greedy step t — the sharded MI scan."""
+    h = state.hyper
+    from ital_tpu.ops.kernels import rbf_kernel
+
+    bsel = batch[:t]
+    if t > 0:
+        xb = gather_rows(state.x, bsel)  # (t, D) replicated
+        vb = gather_cols(state.v, bsel)  # (cap, t) replicated
+        mu_b = gather_scalars(state.mu, bsel)  # (t,) replicated
+        k_bb = rbf_kernel(xb, xb, h.length_scale, h.var)
+        cov_bb = k_bb - vb.T @ vb + params.jitter * jnp.eye(t, dtype=state.mu.dtype)
+        k_cb = rbf_kernel(state.x, xb, h.length_scale, h.var)  # (shard_n, t)
+        cross = k_cb - jnp.dot(
+            state.v.T, vb, preferred_element_type=jnp.float32
+        ).astype(state.mu.dtype)
+    else:
+        dt = state.mu.dtype
+        mu_b = jnp.zeros((0,), dt)
+        cov_bb = jnp.zeros((0, 0), dt)
+        cross = jnp.zeros((state.x.shape[0], 0), dt)
+    return mi_scores_from_moments(
+        state.mu, state.sig2 + params.jitter, cross, mu_b, cov_bb, params,
+        t=t, n_qmc=n_qmc,
+    )
+
+
+def _local_score_fn(strategy: str) -> Callable:
+    """Batch-independent local scores for the cheap baselines."""
+    from ital_tpu.select.baselines import _binary_entropy, _p_relevant
+
+    def fn(state, key):
+        if strategy == "topscoring":
+            return state.mu
+        if strategy == "variance_sampling":
+            return state.sig2
+        if strategy == "uncertainty_sampling":
+            return -jnp.abs(state.mu) / jnp.sqrt(state.sig2)
+        if strategy == "borderline_sampling":
+            return -jnp.abs(state.mu)
+        if strategy == "entropy_sampling":
+            return _binary_entropy(_p_relevant(state))
+        if strategy == "random":
+            k = jax.random.fold_in(key, jax.lax.axis_index(CORPUS_AXIS))
+            return jax.random.uniform(k, (state.x.shape[0],), state.mu.dtype)
+        raise NotImplementedError(
+            f"strategy {strategy!r} has no sharded implementation yet"
+        )
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# The sharded round
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_round(
+    mesh,
+    *,
+    strategy: str = "ital",
+    batch_size: int = 4,
+    n_qmc: int = 128,
+):
+    """Build the jitted sharded feedback-round step.
+
+    Returns ``round_fn(state, key, relevant, sel_forbid, ap_exclude, params)
+    -> (state, batch, ap)`` where ``state`` is sharded (see :func:`shard_state`),
+    ``relevant``/masks are replicated (N,) bools, and one call runs
+    select -> simulate user -> GP update -> rank -> AP entirely on the mesh.
+    """
+
+    def _round(state, key, relevant, sel_forbid, ap_exclude, params):
+        k_sel, k_user = jax.random.split(key)
+
+        # --- greedy selection with collective argmax ---
+        forbid = local_slot_mask(state, extra_forbid=sel_forbid_local(state, sel_forbid))
+        batch = jnp.zeros((batch_size,), jnp.int32)
+        neg = jnp.asarray(-jnp.inf, state.mu.dtype)
+        for t in range(batch_size):
+            if strategy == "ital":
+                scores = _sharded_ital_scores(state, batch, t, params, n_qmc)
+            else:
+                scores = _local_score_fn(strategy)(state, k_sel)
+            scores = jnp.where(forbid, neg, scores)
+            nxt = global_argmax(scores)
+            batch = batch.at[t].set(nxt)
+            # Mark the winner on its owner shard.
+            shard_n = state.x.shape[0]
+            rel_pos = nxt - _offset(shard_n)
+            owned = (rel_pos >= 0) & (rel_pos < shard_n)
+            forbid = forbid.at[jnp.clip(rel_pos, 0, shard_n - 1)].set(
+                forbid[jnp.clip(rel_pos, 0, shard_n - 1)] | owned
+            )
+
+        # --- user feedback (replicated: same key everywhere) ---
+        y, valid = simulate_feedback(
+            k_user, batch, relevant, params.label_prob, params.mistake_prob
+        )
+
+        # --- GP update through the regular code path, collective gather ---
+        state = gp_mod.gp_update(
+            state, batch, y, valid, gather=lambda gidx: gather_rows(state.x, gidx)
+        )
+
+        # --- rank + AP (scores all_gather'd; metric replicated) ---
+        mu_full = jax.lax.all_gather(state.mu, CORPUS_AXIS, tiled=True)
+        ap = average_precision(mu_full, relevant, ap_exclude)
+        return state, batch, ap
+
+    def sel_forbid_local(state, sel_forbid_full):
+        """Slice the replicated (N,) forbid mask down to this shard's rows."""
+        shard_n = state.x.shape[0]
+        start = _offset(shard_n)
+        return jax.lax.dynamic_slice(sel_forbid_full, (start,), (shard_n,))
+
+    def wrapped(state, key, relevant, sel_forbid, ap_exclude, params):
+        specs = state_pspecs(state)
+        pspecs = StrategyParams(
+            label_prob=P(), mistake_prob=P(), jitter=P(), tradeoff=P()
+        )
+        fn = jax.shard_map(
+            _round,
+            mesh=mesh,
+            in_specs=(specs, P(), P(), P(), P(), pspecs),
+            out_specs=(specs, P(), P()),
+            check_vma=False,
+        )
+        return fn(state, key, relevant, sel_forbid, ap_exclude, params)
+
+    return jax.jit(wrapped)

@@ -1,0 +1,186 @@
+"""Experiment harness: simulated-feedback retrieval experiments, MAP-vs-rounds.
+
+Reference parity: ``run_experiment.py`` (SURVEY.md C6, section 3.1) — for each
+repetition x query: draw a query, init the learner, then loop
+``fetch_unlabelled -> simulate user -> update -> rank -> AP``; aggregate to a
+MAP-vs-rounds curve with per-round timing.
+
+TPU-first: selection and (update + rank + AP) are two jitted steps that compile
+once per experiment (static shapes via the padded GP state); per-round PRNG keys
+are derived by ``fold_in`` so runs are deterministic and resumable mid-way.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ital_tpu.data import datasets as ds_mod
+from ital_tpu.data.user import simulate_feedback
+from ital_tpu.models import gp as gp_mod
+from ital_tpu.select.base import StrategyParams, get_strategy
+from ital_tpu.utils.config import ExperimentConfig
+from ital_tpu.utils.logging import JsonlLogger, Timer
+from ital_tpu.utils.metrics import average_precision
+
+# Strategies that consult the corpus density vector (computed once per dataset).
+DENSITY_STRATEGIES = {"sud", "tcal", "adapt_al"}
+
+
+def make_step_fns(cfg: ExperimentConfig):
+    """Build the two jitted per-round step functions (select / absorb+score)."""
+    select = get_strategy(cfg.method)
+    static_kwargs = dict(cfg.method_kwargs)
+
+    @jax.jit
+    def select_step(state, key, params):
+        return select(state, cfg.batch_size, key, params, **static_kwargs)
+
+    @jax.jit
+    def absorb_step(state, key, batch, relevant, exclude, label_prob, mistake_prob):
+        y, valid = simulate_feedback(key, batch, relevant, label_prob, mistake_prob)
+        state = gp_mod.gp_update(state, batch, y, valid)
+        ap = average_precision(state.mu, relevant, exclude)
+        return state, ap
+
+    return select_step, absorb_step
+
+
+def run_experiment(
+    cfg: ExperimentConfig, dataset: Optional[ds_mod.Dataset] = None
+) -> Dict[str, Any]:
+    """Run the full experiment; returns curves + timing and logs JSONL per round.
+
+    Returns dict with ``ap`` (n_sessions, n_rounds) per-round AP after feedback,
+    ``map`` (n_rounds,) mean curve, ``select_ms``/``update_ms`` mean
+    wall-clock, and the session list.
+    """
+    if dataset is None:
+        dataset = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
+    x = jnp.asarray(dataset.x)
+
+    state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap)
+    if cfg.method in DENSITY_STRATEGIES:
+        state0 = state0.replace(density=gp_mod.corpus_density(state0))
+
+    # "tradeoff" rides in StrategyParams (traced); the rest of method_kwargs are
+    # static strategy arguments (e.g. n_qmc).
+    params = StrategyParams(
+        label_prob=jnp.asarray(cfg.user.label_prob),
+        mistake_prob=jnp.asarray(cfg.user.mistake_prob),
+        tradeoff=jnp.asarray(float(cfg.method_kwargs.get("tradeoff", 0.5))),
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        method_kwargs={k: v for k, v in cfg.method_kwargs.items() if k != "tradeoff"},
+    )
+    select_step, absorb_step = make_step_fns(cfg)
+
+    label_prob = jnp.asarray(cfg.user.label_prob)
+    mistake_prob = jnp.asarray(cfg.user.mistake_prob)
+
+    classes = dataset.classes
+    if cfg.max_classes:
+        classes = classes[: cfg.max_classes]
+
+    logger = JsonlLogger(cfg.log_jsonl)
+    timer = Timer()
+    rng = np.random.default_rng(cfg.seed)
+    base_key = jax.random.PRNGKey(cfg.seed)
+
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
+
+    sessions = []
+    ap_curves = []
+    n = dataset.n
+    try:
+        for rep in range(cfg.repetitions):
+            for ci, c in enumerate(classes):
+                queries = dataset.queries_for_class(int(c), rng, cfg.queries_per_class)
+                for qi, q in enumerate(queries):
+                    curve = _run_session(
+                        cfg, state0, params, select_step, absorb_step,
+                        dataset, rep, int(c), int(q), base_key,
+                        label_prob, mistake_prob, timer, logger,
+                    )
+                    ap_curves.append(curve)
+                    sessions.append({"rep": rep, "cls": int(c), "query": int(q)})
+    finally:
+        if cfg.profile_dir:
+            jax.profiler.stop_trace()
+        logger.close()
+
+    ap = np.asarray(ap_curves)
+    return {
+        "ap": ap,
+        "map": ap.mean(axis=0) if ap.size else np.zeros(cfg.n_rounds),
+        "select_ms": timer.ms("select"),
+        "update_ms": timer.ms("update"),
+        "sessions": sessions,
+        "dataset": dataset.name,
+        "method": cfg.method,
+    }
+
+
+def _run_session(
+    cfg, state0, params, select_step, absorb_step, dataset,
+    rep, c, q, base_key, label_prob, mistake_prob, timer, logger,
+):
+    """One query session (n_rounds of feedback), with checkpoint/resume.
+
+    When ``cfg.checkpoint_dir`` is set, every round snapshots the full session
+    state; ``cfg.resume`` continues an interrupted session from its last
+    completed round (bit-identical to an uninterrupted run — per-round PRNG
+    keys are derived by fold_in, never carried).
+    """
+    import os
+
+    from ital_tpu.utils import checkpoint as ckpt
+
+    n = dataset.n
+    relevant = jnp.asarray(dataset.relevance[:, c])
+    exclude = jnp.zeros((n,), bool).at[q].set(True)
+    skey = jax.random.fold_in(
+        jax.random.fold_in(jax.random.fold_in(base_key, rep), c), q
+    )
+
+    state = gp_mod.gp_set_query(state0, jnp.asarray(q))
+    curve: list[float] = []
+    start_round = 0
+
+    ckpt_path = None
+    if cfg.checkpoint_dir:
+        ckpt_path = os.path.join(cfg.checkpoint_dir, f"r{rep}_c{c}_q{q}.npz")
+        if cfg.resume and os.path.exists(ckpt_path):
+            state, extras = ckpt.load_session(ckpt_path, state)
+            curve = [float(v) for v in extras["curve"]]
+            start_round = int(extras["next_round"])
+
+    for rnd in range(start_round, cfg.n_rounds):
+        rkey = jax.random.fold_in(skey, rnd)
+        k_sel, k_user = jax.random.split(rkey)
+        with timer.span("select"):
+            batch = select_step(state, k_sel, params)
+            batch.block_until_ready()
+        with timer.span("update"):
+            state, ap = absorb_step(
+                state, k_user, batch, relevant, exclude, label_prob, mistake_prob
+            )
+            ap.block_until_ready()
+        curve.append(float(ap))
+        logger.log(
+            rep=rep, cls=c, query=q, round=rnd, ap=float(ap),
+            select_ms=timer.ms("select"), update_ms=timer.ms("update"),
+            labeled=int(np.asarray(state.active).sum()),
+        )
+        if ckpt_path:
+            ckpt.save_session(
+                ckpt_path, state,
+                extra={"curve": np.asarray(curve), "next_round": rnd + 1},
+            )
+    return curve

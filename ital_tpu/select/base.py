@@ -1,0 +1,93 @@
+"""Strategy interface and registry.
+
+Reference parity: each selection strategy in the reference subclasses
+``ActiveRetrievalBase`` and overrides ``fetch_unlabelled(k)`` (SURVEY.md C2/C4).
+Here a strategy is a pure function over the GP state — jit/vmap/shard friendly:
+
+    select(state: GPState, batch_size, key, params: StrategyParams) -> (b,) int32
+
+returning the next batch of candidate indices to show the user.  ``key`` feeds
+strategies with random components (random sampling, QMC shifts); deterministic
+strategies ignore it.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ital_tpu.models.gp import GPState
+
+
+@struct.dataclass
+class StrategyParams:
+    """Per-strategy hyperparameters (the reference passes these as ctor kwargs).
+
+    All fields are traced scalars so changing them never recompiles.
+    """
+
+    label_prob: jax.Array = struct.field(default_factory=lambda: jnp.asarray(1.0))
+    mistake_prob: jax.Array = struct.field(default_factory=lambda: jnp.asarray(0.0))
+    jitter: jax.Array = struct.field(default_factory=lambda: jnp.asarray(1e-6))
+    # Trade-off weight used by density/diversity-combination baselines.
+    tradeoff: jax.Array = struct.field(default_factory=lambda: jnp.asarray(0.5))
+
+
+SelectFn = Callable[..., jax.Array]
+
+STRATEGIES: Dict[str, SelectFn] = {}
+
+
+def register(name: str):
+    def deco(fn: SelectFn) -> SelectFn:
+        STRATEGIES[name] = fn
+        return fn
+
+    return deco
+
+
+def get_strategy(name: str) -> SelectFn:
+    try:
+        return STRATEGIES[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown strategy {name!r}; available: {sorted(STRATEGIES)}"
+        ) from None
+
+
+def labeled_mask(state: GPState, *, include_inert: bool = False) -> jax.Array:
+    """(N,) bool — True at corpus indices that must not be selected again.
+
+    By default only *valid* labels are excluded — the reference keeps skipped
+    (shown-but-unlabeled) items in the candidate pool.  ``include_inert=True``
+    additionally excludes items the user already skipped.
+    """
+    n = state.x.shape[0]
+    slot_ids = jnp.arange(state.cap)
+    slot_used = slot_ids < state.count
+    slot_excl = slot_used & (state.valid | include_inert)
+    return jnp.zeros((n,), jnp.int32).at[state.idx].add(slot_excl.astype(jnp.int32)) > 0
+
+
+def greedy_argmax_batch(score_fn, state: GPState, batch_size: int) -> jax.Array:
+    """Generic greedy batch construction: repeatedly argmax a per-candidate score.
+
+    ``score_fn(batch, t) -> (N,) scores`` may depend on the partial batch
+    (``batch[:t]`` valid).  The loop is unrolled in Python — ``batch_size`` is
+    static — so each step traces with static shapes; already-picked and labeled
+    candidates are masked to -inf.
+    """
+    n = state.x.shape[0]
+    excluded = labeled_mask(state)
+    batch = jnp.zeros((batch_size,), jnp.int32)
+    neg = jnp.asarray(-jnp.inf, state.mu.dtype)
+    for t in range(batch_size):
+        scores = score_fn(batch, t)
+        scores = jnp.where(excluded, neg, scores)
+        nxt = jnp.argmax(scores).astype(jnp.int32)
+        batch = batch.at[t].set(nxt)
+        excluded = excluded.at[nxt].set(True)
+    return batch

@@ -1,0 +1,187 @@
+"""ITAL — information-theoretic active learning batch selection (the method).
+
+Reference parity: ``italia/ital.py :: ITAL`` (SURVEY.md C3, section 3.2).  Each
+feedback round selects the batch of unlabeled candidates maximizing the mutual
+information
+
+    I(R; F | A) = sum_r sum_f P(R=r) P(F=f | R=r) log [ P(F=f|R=r) / P(F=f) ]
+
+between the joint (unknown) relevance R of the batch and the noisy, possibly
+skipped user feedback F, given annotations so far A (carried by the GP
+posterior).  P(R=r) are orthant probabilities of the GP joint predictive
+Gaussian over the batch; P(F|R) is the user model with per-item labeling
+probability ``label_prob`` and flip probability ``mistake_prob``, factorized
+across the batch.
+
+TPU-first design (NOT a port): where the reference loops over candidates in
+Python and fans out to a ``multiprocessing.Pool``, here a single ``vmap`` scores
+*every* unlabeled candidate at once on-device; the 2^m relevance and 3^m
+feedback configurations are static precomputed tables contracted on the VPU/MXU;
+orthant probabilities come from the JAX Genz QMC kernel
+(:mod:`ital_tpu.ops.mvn`) sharing one small Cholesky per candidate.  Greedy
+batch growth is unrolled over the (static) batch size; the role of the
+reference's ``AppendedMutualInformation`` incremental cache is played by
+reusing, at every greedy step, the batch-block covariance and the whitened
+cross-kernel columns that are already in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ital_tpu.models.gp import GPState, gp_posterior_cov_columns, gp_predict_full
+from ital_tpu.ops.mvn import orthant_probs_all_configs
+from ital_tpu.select.base import StrategyParams, greedy_argmax_batch, register
+
+
+@functools.lru_cache(maxsize=None)
+def sign_table(m: int) -> np.ndarray:
+    """(2^m, m) all relevance sign configurations r in {-1, +1}^m."""
+    return np.asarray(list(itertools.product([-1.0, 1.0], repeat=m)), np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def feedback_table(m: int) -> np.ndarray:
+    """(3^m, m) all feedback configurations f in {-1, 0, +1}^m (0 = skipped)."""
+    return np.asarray(list(itertools.product([-1.0, 0.0, 1.0], repeat=m)), np.float32)
+
+
+def feedback_given_relevance(
+    m: int, label_prob: jax.Array, mistake_prob: jax.Array
+) -> jax.Array:
+    """(2^m, 3^m) table P(F=f | R=r) under the noisy/skipping user model.
+
+    Per item: P(f=0) = 1 - label_prob; P(f=r) = label_prob * (1 - mistake_prob);
+    P(f=-r) = label_prob * mistake_prob — factorized across the batch.
+    ``label_prob``/``mistake_prob`` are traced, so sweeping them never
+    recompiles.
+    """
+    r = jnp.asarray(sign_table(m))[:, None, :]  # (2^m, 1, m)
+    f = jnp.asarray(feedback_table(m))[None, :, :]  # (1, 3^m, m)
+    p_item = jnp.where(
+        f == 0.0,
+        1.0 - label_prob,
+        jnp.where(f == r, label_prob * (1.0 - mistake_prob), label_prob * mistake_prob),
+    )
+    return jnp.prod(p_item, axis=-1)  # (2^m, 3^m)
+
+
+def mutual_information_from_relevance(p_r: jax.Array, pfr: jax.Array) -> jax.Array:
+    """I(R; F) from relevance-config probabilities ``p_r`` (..., 2^m).
+
+    MI = H(F) - H(F|R); with ``pfr`` = P(f|r) the conditional entropy is a fixed
+    per-config row sum, so MI reduces to two small contractions — this is what
+    makes scoring all candidates a single fused matmul chain.
+    """
+    eps = 1e-12
+    neg_h_f_given_r = jnp.sum(pfr * jnp.log(pfr + eps), axis=-1)  # (2^m,)
+    p_f = p_r @ pfr  # (..., 3^m)
+    h_f = -jnp.sum(p_f * jnp.log(p_f + eps), axis=-1)
+    return h_f + p_r @ neg_h_f_given_r
+
+
+def _joint_posterior(
+    state: GPState, batch: jax.Array, t: int, jitter: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Per-candidate joint predictive N(mu, Sigma) over batch[:t] + candidate.
+
+    Returns (mu_b (t,), cov_bb (t,t), cross (N,t), jittered sig2 (N,)) — the
+    shared batch block plus the per-candidate pieces, assembled lazily inside
+    the vmap to avoid an (N, m, m) intermediate in HBM.
+    """
+    bsel = batch[:t]
+    mu_b = state.mu[bsel]
+    _, cov_bb = gp_predict_full(state, bsel)
+    cov_bb = cov_bb + jitter * jnp.eye(t, dtype=cov_bb.dtype)
+    cross = gp_posterior_cov_columns(state, bsel)  # (N, t)
+    sig2 = state.sig2 + jitter
+    return mu_b, cov_bb, cross, sig2
+
+
+def mi_scores_from_moments(
+    mu_cand: jax.Array,
+    sig2_cand: jax.Array,
+    cross: jax.Array,
+    mu_b: jax.Array,
+    cov_bb: jax.Array,
+    params: StrategyParams,
+    *,
+    t: int,
+    n_qmc: int = 128,
+) -> jax.Array:
+    """MI of appending each candidate to the partial batch, from posterior moments.
+
+    This is the shared scoring core: the single-device path feeds it
+    whole-corpus moments, the ``shard_map`` path feeds it this chip's corpus
+    shard (``ital_tpu.parallel``) — identical math either way.
+
+    Args:
+      mu_cand/sig2_cand: (Nc,) candidate posterior mean / (jittered) variance.
+      cross: (Nc, t) posterior covariance candidate<->batch members.
+      mu_b: (t,) batch posterior mean; cov_bb: (t, t) jittered batch covariance.
+    """
+    m = t + 1
+    signs = jnp.asarray(sign_table(m))
+    pfr = feedback_given_relevance(m, params.label_prob, params.mistake_prob)
+
+    def one_candidate(mu_c, sig2_c, cross_c):
+        mu = jnp.concatenate([mu_b, mu_c[None]])
+        cov = jnp.zeros((m, m), mu.dtype)
+        if t > 0:
+            cov = cov.at[:t, :t].set(cov_bb)
+            cov = cov.at[:t, t].set(cross_c)
+            cov = cov.at[t, :t].set(cross_c)
+        cov = cov.at[t, t].set(sig2_c)
+        chol = jnp.linalg.cholesky(cov)
+        p_r = orthant_probs_all_configs(mu, chol, signs, n_points=n_qmc)
+        return mutual_information_from_relevance(p_r, pfr)
+
+    return jax.vmap(one_candidate)(mu_cand, sig2_cand, cross)
+
+
+def score_candidates_mi(
+    state: GPState,
+    batch: jax.Array,
+    t: int,
+    params: StrategyParams,
+    *,
+    n_qmc: int = 128,
+) -> jax.Array:
+    """(N,) mutual information of appending each corpus point to ``batch[:t]``.
+
+    The hottest computation of the framework (reference: the candidate loop of
+    ``ITAL.fetch_unlabelled`` + its ``multiprocessing`` fan-out, SURVEY.md
+    section 3.2) — here one vmap over the whole corpus.
+    """
+    mu_b, cov_bb, cross, sig2 = _joint_posterior(state, batch, t, params.jitter)
+    return mi_scores_from_moments(
+        state.mu, sig2, cross, mu_b, cov_bb, params, t=t, n_qmc=n_qmc
+    )
+
+
+@register("ital")
+def select_ital(
+    state: GPState,
+    batch_size: int,
+    key: jax.Array,
+    params: StrategyParams,
+    *,
+    n_qmc: int = 128,
+) -> jax.Array:
+    """Greedy ITAL batch construction (reference ``ITAL.fetch_unlabelled``).
+
+    Grows the batch one candidate at a time, rescoring all remaining candidates
+    at each step against the partial batch; the greedy loop is unrolled (static
+    ``batch_size``), so the whole selection is one jittable computation.
+    """
+    del key  # deterministic given the fixed QMC lattice
+
+    def score(batch, t):
+        return score_candidates_mi(state, batch, t, params, n_qmc=n_qmc)
+
+    return greedy_argmax_batch(score, state, batch_size)

@@ -1,0 +1,122 @@
+"""Experiment configuration: typed dataclasses + .ini files + CLI overrides.
+
+Reference parity: the reference drives experiments with ``configs/*.ini`` read
+by ``configparser``, with CLI overrides of section keys (SURVEY.md C9 and the
+config row of section 5).  The same UX is kept: ``run_experiment.py
+configs/foo.ini EXPERIMENT.n_rounds=5 GP.noise=0.2``; the typed layer here is
+dataclasses instead of ad-hoc getters.
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+from typing import Any, Dict, Optional
+
+
+@dataclasses.dataclass
+class GPConfig:
+    length_scale: float = 1.0
+    var: float = 1.0
+    noise: float = 0.1
+    cap: int = 64  # labeled-slot capacity; 0 = auto (1 + n_rounds * batch_size)
+
+
+@dataclasses.dataclass
+class UserConfig:
+    label_prob: float = 1.0
+    mistake_prob: float = 0.0
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    dataset: str = "toy"
+    dataset_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    method: str = "ital"
+    method_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    batch_size: int = 4
+    n_rounds: int = 10
+    repetitions: int = 1
+    queries_per_class: int = 1
+    max_classes: int = 0  # 0 = all classes
+    seed: int = 0
+    gp: GPConfig = dataclasses.field(default_factory=GPConfig)
+    user: UserConfig = dataclasses.field(default_factory=UserConfig)
+    # Auxiliary subsystems (SURVEY.md section 5).
+    log_jsonl: Optional[str] = None  # per-round structured metrics
+    checkpoint_dir: Optional[str] = None  # per-round session snapshots
+    resume: bool = False
+    deterministic: bool = True  # pin seeds / QMC lattices
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    # Parallelism (SURVEY.md section 2.3): number of mesh devices (0 = single).
+    mesh_devices: int = 0
+
+    @property
+    def cap(self) -> int:
+        if self.gp.cap:
+            return self.gp.cap
+        raw = 1 + self.n_rounds * self.batch_size
+        return -(-raw // 8) * 8  # round up to a multiple of 8 (TPU sublane)
+
+
+def _coerce(value: str) -> Any:
+    """str -> bool/int/float/str by trial (ini values are untyped)."""
+    low = value.strip().lower()
+    if low in ("true", "yes"):
+        return True
+    if low in ("false", "no"):
+        return False
+    if low in ("none", ""):
+        return None
+    for cast in (int, float):
+        try:
+            return cast(value)
+        except ValueError:
+            continue
+    return value
+
+
+def _apply_section(obj: Any, section: configparser.SectionProxy, extras: Dict[str, Any]):
+    for key, raw in section.items():
+        val = _coerce(raw)
+        if hasattr(obj, key):
+            setattr(obj, key, val)
+        else:
+            extras[key] = val
+
+
+def load_config(path: Optional[str] = None, overrides: tuple[str, ...] = ()) -> ExperimentConfig:
+    """Read an .ini experiment config and apply ``SECTION.key=value`` overrides.
+
+    Sections: ``[EXPERIMENT]`` (runner knobs + unknown keys become
+    ``method_kwargs``), ``[GP]``, ``[USER]``, ``[DATA]`` (dataset loader
+    kwargs), ``[METHOD]`` (strategy kwargs).
+    """
+    cfg = ExperimentConfig()
+    parser = configparser.ConfigParser()
+    parser.optionxform = str  # keep key case
+    if path is not None:
+        with open(path) as fh:
+            parser.read_file(fh)
+    for ov in overrides:
+        if "=" not in ov or "." not in ov.split("=", 1)[0]:
+            raise ValueError(f"override must look like SECTION.key=value, got {ov!r}")
+        lhs, value = ov.split("=", 1)
+        section, key = lhs.split(".", 1)
+        if not parser.has_section(section):
+            parser.add_section(section)
+        parser.set(section, key, value)
+
+    if parser.has_section("EXPERIMENT"):
+        _apply_section(cfg, parser["EXPERIMENT"], cfg.method_kwargs)
+    if parser.has_section("GP"):
+        _apply_section(cfg.gp, parser["GP"], {})
+    if parser.has_section("USER"):
+        _apply_section(cfg.user, parser["USER"], {})
+    if parser.has_section("DATA"):
+        for key, raw in parser["DATA"].items():
+            cfg.dataset_kwargs[key] = _coerce(raw)
+    if parser.has_section("METHOD"):
+        for key, raw in parser["METHOD"].items():
+            cfg.method_kwargs[key] = _coerce(raw)
+    return cfg

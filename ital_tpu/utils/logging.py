@@ -1,0 +1,60 @@
+"""Structured observability: JSONL per-round metrics + wall-clock timers.
+
+Reference parity: the reference's only instrumentation is ``print`` plus saved
+result arrays and wall-clock timing around selection (SURVEY.md section 5).
+Here every round emits one JSON line (AP, MAP-so-far, selection/update
+milliseconds, labeled count) while stdout stays human-readable.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Optional, TextIO
+
+
+class JsonlLogger:
+    def __init__(self, path: Optional[str]):
+        self._fh: Optional[TextIO] = open(path, "a") if path else None
+
+    def log(self, **record: Any) -> None:
+        if self._fh is None:
+            return
+        self._fh.write(json.dumps(record, default=float) + "\n")
+        self._fh.flush()
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+
+class Timer:
+    """Accumulating wall-clock timer: ``with timer.span("select"): ...``."""
+
+    def __init__(self):
+        self.totals: dict[str, float] = {}
+        self.counts: dict[str, int] = {}
+
+    def span(self, name: str):
+        return _Span(self, name)
+
+    def ms(self, name: str) -> float:
+        """Mean milliseconds per recorded span."""
+        c = self.counts.get(name, 0)
+        return 1e3 * self.totals.get(name, 0.0) / c if c else 0.0
+
+
+class _Span:
+    def __init__(self, timer: Timer, name: str):
+        self.timer, self.name = timer, name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.perf_counter() - self.t0
+        self.timer.totals[self.name] = self.timer.totals.get(self.name, 0.0) + dt
+        self.timer.counts[self.name] = self.timer.counts.get(self.name, 0) + 1
+        return False

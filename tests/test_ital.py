@@ -1,0 +1,113 @@
+"""ITAL MI scoring + greedy selection vs the brute-force NumPy oracle."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ital_tpu.models import gp as gp_mod
+from ital_tpu.select.base import StrategyParams
+from ital_tpu.select.ital import (
+    feedback_given_relevance,
+    mutual_information_from_relevance,
+    score_candidates_mi,
+    select_ital,
+)
+from tests.oracle import numpy_oracle as oracle
+
+LS, VAR, NOISE = 1.0, 1.0, 0.1
+
+
+def _fitted_pair(rng, n=40, d=3, cap=16, labeled=((3, 1.0), (17, -1.0), (29, 1.0))):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    state = gp_mod.gp_init(jnp.asarray(x), LS, VAR, NOISE, cap)
+    idx = [i for i, _ in labeled]
+    ys = [y for _, y in labeled]
+    state = state.replace(
+        idx=state.idx.at[: len(idx)].set(jnp.asarray(idx, jnp.int32)),
+        y=state.y.at[: len(idx)].set(jnp.asarray(ys, jnp.float32)),
+        valid=state.valid.at[: len(idx)].set(True),
+        count=jnp.asarray(len(idx), jnp.int32),
+    )
+    state = gp_mod.gp_fit(state)
+    ogp = oracle.OracleGP(x, LS, VAR, NOISE)
+    ogp.fit(idx, ys)
+    return state, ogp
+
+
+@pytest.mark.parametrize("m,label_prob,mistake_prob", [
+    (1, 1.0, 0.0), (2, 0.8, 0.1), (3, 0.6, 0.2),
+])
+def test_mi_formula_matches_oracle(rng, m, label_prob, mistake_prob):
+    """MI from relevance-config probabilities == oracle's double enumeration."""
+    a = rng.normal(size=(m, m))
+    cov = a @ a.T + np.eye(m)
+    mu = rng.normal(size=(m,)) * 0.5
+
+    ours_pr = np.array(
+        [oracle.mvn_orthant(mu, cov, s)
+         for s in itertools.product([-1, 1], repeat=m)]
+    )
+    ours_pr = ours_pr / ours_pr.sum()
+    pfr = feedback_given_relevance(m, jnp.asarray(label_prob), jnp.asarray(mistake_prob))
+    mi = float(mutual_information_from_relevance(jnp.asarray(ours_pr, jnp.float32), pfr))
+
+    ref = oracle.mutual_information(mu, cov, label_prob, mistake_prob)
+    assert mi == pytest.approx(ref, abs=2e-4)
+
+
+def test_candidate_scores_match_oracle_singletons(rng):
+    """Greedy step 0: per-candidate singleton MI vs oracle enumeration."""
+    state, ogp = _fitted_pair(rng)
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.9), mistake_prob=jnp.asarray(0.1)
+    )
+    batch = jnp.zeros((2,), jnp.int32)
+    scores = np.asarray(score_candidates_mi(state, batch, 0, params, n_qmc=64))
+
+    for c in [0, 7, 22, 35]:
+        mu = ogp.predict_mean([c])
+        cov = ogp.predict_cov([c]) + 1e-6
+        ref = oracle.mutual_information(mu, cov, 0.9, 0.1)
+        assert scores[c] == pytest.approx(ref, abs=2e-3), c
+
+
+def test_candidate_scores_match_oracle_pairs(rng):
+    """Greedy step 1 (batch of one already chosen): joint MI vs oracle."""
+    state, ogp = _fitted_pair(rng)
+    params = StrategyParams(label_prob=jnp.asarray(0.8), mistake_prob=jnp.asarray(0.05))
+    first = 11
+    batch = jnp.zeros((2,), jnp.int32).at[0].set(first)
+    scores = np.asarray(score_candidates_mi(state, batch, 1, params, n_qmc=256))
+
+    for c in [2, 19, 33]:
+        sel = [first, c]
+        mu = ogp.predict_mean(sel)
+        cov = ogp.predict_cov(sel) + 1e-6 * np.eye(2)
+        ref = oracle.mutual_information(mu, cov, 0.8, 0.05)
+        assert scores[c] == pytest.approx(ref, abs=5e-3), c
+
+
+def test_greedy_selection_matches_oracle(rng):
+    """Full greedy batch construction picks the same batch as the oracle."""
+    state, ogp = _fitted_pair(rng, n=30)
+    params = StrategyParams(label_prob=jnp.asarray(1.0), mistake_prob=jnp.asarray(0.0))
+    batch = np.asarray(
+        select_ital(state, 3, jax.random.PRNGKey(0), params, n_qmc=256)
+    )
+
+    candidates = [i for i in range(30) if i not in (3, 17, 29)]
+    ref_batch = oracle.ital_select(ogp, candidates, 3, 1.0, 0.0)
+    assert list(batch) == ref_batch
+
+
+def test_noiseless_user_mi_reduces_to_relevance_entropy(rng):
+    """With label_prob=1, mistake_prob=0: I(R;F) = H(R) exactly."""
+    m = 2
+    pr = np.asarray([0.1, 0.25, 0.6, 0.05], np.float32)
+    pfr = feedback_given_relevance(m, jnp.asarray(1.0), jnp.asarray(0.0))
+    mi = float(mutual_information_from_relevance(jnp.asarray(pr), pfr))
+    h_r = float(-(pr * np.log(pr)).sum())
+    assert mi == pytest.approx(h_r, abs=1e-5)

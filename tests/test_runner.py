@@ -1,0 +1,69 @@
+"""End-to-end experiment harness: determinism + golden toy curve (BASELINE config 1)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from ital_tpu.data.datasets import load_dataset
+from ital_tpu.runner import run_experiment
+from ital_tpu.utils.config import ExperimentConfig, GPConfig, UserConfig, load_config
+
+
+def _toy_cfg(**kw):
+    base = dict(
+        dataset="toy",
+        dataset_kwargs=dict(n_per_class=80, n_classes=3, dim=2, seed=0),
+        method="ital",
+        batch_size=1,
+        n_rounds=4,
+        repetitions=1,
+        queries_per_class=1,
+        seed=0,
+        gp=GPConfig(length_scale=1.5, var=1.0, noise=0.1, cap=16),
+        user=UserConfig(label_prob=1.0, mistake_prob=0.0),
+    )
+    base.update(kw)
+    return ExperimentConfig(**base)
+
+
+def test_toy_experiment_learns():
+    res = run_experiment(_toy_cfg())
+    assert res["ap"].shape == (3, 4)
+    # Active learning must help: final MAP above first-round MAP - slack.
+    assert res["map"][-1] > res["map"][0] - 0.05
+    assert res["map"][-1] > 0.5
+
+
+def test_experiment_deterministic():
+    r1 = run_experiment(_toy_cfg(user=UserConfig(label_prob=0.7, mistake_prob=0.1)))
+    r2 = run_experiment(_toy_cfg(user=UserConfig(label_prob=0.7, mistake_prob=0.1)))
+    np.testing.assert_array_equal(r1["ap"], r2["ap"])
+
+
+def test_noisy_user_changes_curve():
+    r1 = run_experiment(_toy_cfg())
+    r2 = run_experiment(_toy_cfg(user=UserConfig(label_prob=0.6, mistake_prob=0.3)))
+    assert not np.array_equal(r1["ap"], r2["ap"])
+
+
+def test_jsonl_logging(tmp_path):
+    import json
+
+    log = tmp_path / "log.jsonl"
+    run_experiment(_toy_cfg(log_jsonl=str(log), n_rounds=2))
+    lines = [json.loads(l) for l in log.read_text().splitlines()]
+    assert len(lines) == 3 * 2  # sessions x rounds
+    assert {"ap", "round", "select_ms", "labeled"} <= set(lines[0])
+
+
+def test_config_file_end_to_end(tmp_path):
+    ini = tmp_path / "toy.ini"
+    ini.write_text(
+        "[EXPERIMENT]\ndataset = toy\nmethod = borderline_sampling\n"
+        "batch_size = 2\nn_rounds = 2\nqueries_per_class = 1\n"
+        "[DATA]\nn_per_class = 40\nn_classes = 2\ndim = 2\nseed = 1\n"
+        "[GP]\nlength_scale = 1.5\ncap = 8\n"
+    )
+    res = run_experiment(load_config(str(ini)))
+    assert res["ap"].shape == (2, 2)

@@ -1,0 +1,60 @@
+"""User-facing ActiveRetrieval session API + checkpoint/resume."""
+
+import numpy as np
+
+from ital_tpu.data.datasets import toy_gaussians
+from ital_tpu.models.session import ActiveRetrieval
+from ital_tpu.utils.checkpoint import load_session, save_session
+
+
+def _session(strategy="ital", **kw):
+    ds = toy_gaussians(n_per_class=60, n_classes=3, dim=2, seed=3)
+    sess = ActiveRetrieval(
+        ds.x, length_scale=1.5, var=1.0, noise=0.1, cap=16, strategy=strategy, **kw
+    )
+    return ds, sess
+
+
+def test_session_feedback_loop_improves_ranking():
+    ds, sess = _session()
+    c = int(ds.labels[5])
+    sess.update_query(5)
+    for _ in range(3):
+        batch = sess.fetch_unlabelled(2)
+        fb = {int(i): (1 if ds.relevance[i, c] else -1) for i in batch}
+        sess.update(fb)
+    top = sess.top_k(10)
+    frac_rel = ds.relevance[top, c].mean()
+    assert frac_rel >= 0.8
+    assert set(sess.relevant_ids) >= {5}
+
+
+def test_session_skip_handling():
+    ds, sess = _session(strategy="uncertainty_sampling")
+    sess.update_query(0)
+    batch = sess.fetch_unlabelled(3)
+    sess.update({int(batch[0]): 1, int(batch[1]): None, int(batch[2]): 0})
+    assert len(sess.relevant_ids) == 2  # query + one labeled
+    assert len(sess.irrelevant_ids) == 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ds, sess = _session()
+    sess.update_query(7)
+    batch = sess.fetch_unlabelled(2)
+    c = int(ds.labels[7])
+    sess.update({int(i): (1 if ds.relevance[i, c] else -1) for i in batch})
+
+    path = str(tmp_path / "sess.npz")
+    save_session(path, sess.state, extra={"curve": np.asarray([0.5, 0.6])})
+
+    _, fresh = _session()
+    restored, extras = load_session(path, fresh.state)
+    np.testing.assert_array_equal(np.asarray(restored.idx), np.asarray(sess.state.idx))
+    np.testing.assert_allclose(np.asarray(restored.mu), np.asarray(sess.state.mu))
+    np.testing.assert_allclose(extras["curve"], [0.5, 0.6])
+
+    # The restored session keeps working (posterior is fully reconstructed).
+    fresh.state = restored
+    batch2 = fresh.fetch_unlabelled(2)
+    assert batch2.shape == (2,)
