@@ -87,19 +87,37 @@ def time_tpu(ds, idx, ys) -> float:
 
 
 def time_cpu(ds, idx, ys, tpu_batch) -> float:
-    """CPU reference ms/round, oracle implementation, Pool-parallel, subsampled."""
+    """CPU reference ms/round: oracle per-candidate scoring cost, extrapolated.
+
+    The reference's per-round selection cost is the candidate loop (O(n_cand)
+    per greedy step); the per-candidate MI cost does not depend on corpus size,
+    so the oracle runs on a subset corpus (the labeled set + the batch + random
+    rows) to avoid the reference's one-time O(N^2) kernel build, times
+    ``CPU_SAMPLE`` candidates per greedy step, scales to the full pool, and
+    assumes an IDEAL linear Pool speedup over all cores — every assumption
+    favors the CPU baseline.
+    """
     from tests.oracle.numpy_oracle import OracleGP, mutual_information
 
     rng = np.random.default_rng(0)
-    gp = OracleGP(ds.x, LS, VAR, NOISE)
-    gp.fit(idx, ys)
+    n_sub = 2048
+    keep = np.unique(
+        np.concatenate([np.asarray(idx), np.asarray(tpu_batch),
+                        rng.choice(ds.n, size=n_sub, replace=False)])
+    )
+    remap = {int(g): i for i, g in enumerate(keep)}
+    gp = OracleGP(ds.x[keep], LS, VAR, NOISE)
+    gp.fit([remap[int(i)] for i in idx], ys)
     n_cand = ds.n - len(idx)
 
     total_s = 0.0
-    nproc = min(mp.cpu_count(), 16)
+    # Credit the CPU baseline with an ideal 16-way Pool even when this host has
+    # fewer cores (the reference's `parallelized` mode on a typical worksta-
+    # tion) — keeps the reported speedup conservative.
+    nproc = 16
     for t in range(BATCH):
-        batch = list(tpu_batch[:t])
-        cands = rng.choice(ds.n, size=CPU_SAMPLE, replace=False)
+        batch = [remap[int(b)] for b in tpu_batch[:t]]
+        cands = rng.choice(len(keep), size=CPU_SAMPLE, replace=False)
         sels = [batch + [int(c)] for c in cands]
         t0 = time.perf_counter()
         for sel in sels:
@@ -107,8 +125,6 @@ def time_cpu(ds, idx, ys, tpu_batch) -> float:
             cov = gp.predict_cov(sel) + 1e-6 * np.eye(len(sel))
             mutual_information(mu, cov, LABEL_PROB, MISTAKE_PROB)
         dt = time.perf_counter() - t0
-        # Scale subsample -> full candidate pool, assume ideal Pool speedup
-        # across nproc workers (generous to the CPU baseline).
         total_s += dt * (n_cand / CPU_SAMPLE) / nproc
     return total_s * 1e3
 

@@ -41,3 +41,19 @@ runner                 run_experiment.py
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: the fused selection/update steps take
+# minutes to compile at MIRFLICKR scale; caching makes every process after the
+# first start warm.  Opt out with ITAL_TPU_NO_CACHE=1.
+if not _os.environ.get("ITAL_TPU_NO_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "ITAL_TPU_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "ital_tpu_xla"),
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

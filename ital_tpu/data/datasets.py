@@ -154,12 +154,19 @@ def mirflickr(path: Optional[str] = None) -> Dataset:
                         "mirflickr_labels.npy", (25000, 512, 14))
 
 
+def corpus100k(n: int = 100_000, dim: int = 512, n_classes: int = 20, seed: int = 0) -> Dataset:
+    """Synthetic 100k-image corpus for the sharded scale-out scenario
+    (BASELINE.json config 5)."""
+    return _synthetic_surrogate("corpus100k", n, dim, n_classes, seed)
+
+
 _FACTORIES = {
     "toy": toy_gaussians,
     "digits": digits,
     "usps": usps,
     "natural_scenes": natural_scenes,
     "mirflickr": mirflickr,
+    "corpus100k": corpus100k,
 }
 
 

@@ -61,6 +61,8 @@ def run_experiment(
     """
     if dataset is None:
         dataset = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
+    if cfg.mesh_devices:
+        return run_experiment_sharded(cfg, dataset)
     x = jnp.asarray(dataset.x)
 
     state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap)
@@ -184,3 +186,87 @@ def _run_session(
                 extra={"curve": np.asarray(curve), "next_round": rnd + 1},
             )
     return curve
+
+
+def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Dict[str, Any]:
+    """Corpus-sharded experiment over a device mesh (BASELINE.json config 5).
+
+    Same protocol as :func:`run_experiment`; the per-round step is the
+    ``shard_map`` round of :mod:`ital_tpu.parallel.sharded` — feature rows, the
+    whitened kernel, and the MI scan sharded over ``cfg.mesh_devices`` chips.
+    """
+    from ital_tpu.parallel import make_mesh, make_sharded_round, pad_to_devices, shard_state
+    from ital_tpu.parallel.sharded import make_masks
+
+    n_dev = cfg.mesh_devices
+    mesh = make_mesh(n_dev)
+    x_pad, n_real = pad_to_devices(dataset.x, n_dev)
+    n_pad = x_pad.shape[0]
+
+    state0 = gp_mod.gp_init(
+        jnp.asarray(x_pad), cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap
+    )
+    params = StrategyParams(
+        label_prob=jnp.asarray(cfg.user.label_prob),
+        mistake_prob=jnp.asarray(cfg.user.mistake_prob),
+        tradeoff=jnp.asarray(float(cfg.method_kwargs.get("tradeoff", 0.5))),
+    )
+    round_fn = make_sharded_round(
+        mesh,
+        strategy=cfg.method,
+        batch_size=cfg.batch_size,
+        n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
+    )
+
+    classes = dataset.classes
+    if cfg.max_classes:
+        classes = classes[: cfg.max_classes]
+    logger = JsonlLogger(cfg.log_jsonl)
+    timer = Timer()
+    rng = np.random.default_rng(cfg.seed)
+    base_key = jax.random.PRNGKey(cfg.seed)
+
+    sessions, ap_curves = [], []
+    for rep in range(cfg.repetitions):
+        for c in classes:
+            queries = dataset.queries_for_class(int(c), rng, cfg.queries_per_class)
+            for q in queries:
+                c, q = int(c), int(q)
+                relevant = jnp.asarray(
+                    np.pad(dataset.relevance[:, c], (0, n_pad - n_real))
+                )
+                sel_forbid, ap_exclude = make_masks(n_pad, n_real, q)
+                state = shard_state(
+                    gp_mod.gp_set_query(state0, jnp.asarray(q)), mesh
+                )
+                skey = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.fold_in(base_key, rep), c), q
+                )
+                curve = []
+                for rnd in range(cfg.n_rounds):
+                    rkey = jax.random.fold_in(skey, rnd)
+                    with timer.span("round"):
+                        state, batch, ap = round_fn(
+                            state, rkey, relevant, sel_forbid, ap_exclude, params
+                        )
+                        ap.block_until_ready()
+                    curve.append(float(ap))
+                    logger.log(
+                        rep=rep, cls=c, query=q, round=rnd, ap=float(ap),
+                        round_ms=timer.ms("round"), sharded=n_dev,
+                    )
+                ap_curves.append(curve)
+                sessions.append({"rep": rep, "cls": c, "query": q})
+    logger.close()
+
+    ap = np.asarray(ap_curves)
+    return {
+        "ap": ap,
+        "map": ap.mean(axis=0) if ap.size else np.zeros(cfg.n_rounds),
+        "select_ms": timer.ms("round"),
+        "update_ms": 0.0,
+        "sessions": sessions,
+        "dataset": dataset.name,
+        "method": cfg.method,
+        "mesh_devices": n_dev,
+    }

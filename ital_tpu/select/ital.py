@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ital_tpu.models.gp import GPState, gp_posterior_cov_columns, gp_predict_full
-from ital_tpu.ops.mvn import orthant_probs_all_configs
+from ital_tpu.ops.mvn import orthant_probs_all_configs, small_cholesky
 from ital_tpu.select.base import StrategyParams, greedy_argmax_batch, register
 
 
@@ -137,7 +137,7 @@ def mi_scores_from_moments(
             cov = cov.at[:t, t].set(cross_c)
             cov = cov.at[t, :t].set(cross_c)
         cov = cov.at[t, t].set(sig2_c)
-        chol = jnp.linalg.cholesky(cov)
+        chol = small_cholesky(cov)
         p_r = orthant_probs_all_configs(mu, chol, signs, n_points=n_qmc)
         return mutual_information_from_relevance(p_r, pfr)
 

@@ -82,10 +82,9 @@ def mvn_orthant(mu, cov, signs):
     s = -signs
     mu_f = s * mu
     cov_f = cov * np.outer(s, s)
+    # Default MVNDST tolerance (~1e-5): tighter settings cost ~1000x at m >= 3.
     return float(
-        multivariate_normal.cdf(
-            np.zeros(m), mean=mu_f, cov=cov_f, allow_singular=True, abseps=1e-10
-        )
+        multivariate_normal.cdf(np.zeros(m), mean=mu_f, cov=cov_f, allow_singular=True)
     )
 
 

@@ -76,3 +76,15 @@ def test_degenerate_covariance_does_not_nan():
     chol = jnp.asarray(np.linalg.cholesky(cov).astype(np.float32))
     p = mvn_orthant_prob(jnp.zeros(m), chol, jnp.asarray([1.0, -1.0, 1.0]))
     assert np.isfinite(float(p))
+
+
+def test_small_cholesky_matches_linalg(rng):
+    import jax
+    from ital_tpu.ops.mvn import small_cholesky
+
+    for m in (1, 2, 4, 6):
+        a = rng.normal(size=(50, m, m))
+        spd = (a @ np.swapaxes(a, 1, 2) + m * np.eye(m)).astype(np.float32)
+        ours = np.asarray(jax.vmap(small_cholesky)(jnp.asarray(spd)))
+        ref = np.linalg.cholesky(spd)
+        np.testing.assert_allclose(ours, ref, atol=2e-4)

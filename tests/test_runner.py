@@ -67,3 +67,39 @@ def test_config_file_end_to_end(tmp_path):
     )
     res = run_experiment(load_config(str(ini)))
     assert res["ap"].shape == (2, 2)
+
+
+def test_sharded_runner_end_to_end():
+    """cfg.mesh_devices routes through the shard_map round (BASELINE config 5 shape)."""
+    cfg = _toy_cfg(batch_size=2, n_rounds=3, mesh_devices=4)
+    res = run_experiment(cfg)
+    assert res["mesh_devices"] == 4
+    assert res["ap"].shape == (3, 3)
+    assert np.isfinite(res["ap"]).all()
+    # Sharded and single-device runs agree on the learning signal (same
+    # protocol, same seeds; scores may differ at fp tie level, so compare MAP
+    # loosely).
+    res_single = run_experiment(_toy_cfg(batch_size=2, n_rounds=3))
+    assert abs(res["map"][-1] - res_single["map"][-1]) < 0.1
+
+
+def test_golden_toy_curve():
+    """BASELINE config 1 (seeded, CPU): frozen golden MAP-vs-rounds curve.
+
+    Guards the whole pipeline (GP fit -> MI selection -> noisy user -> update ->
+    AP) against silent behavior drift.  Regenerate deliberately via the script
+    in git history if an intentional change shifts the curve.
+    """
+    import json
+    import os
+
+    golden = json.load(
+        open(os.path.join(os.path.dirname(__file__), "golden", "toy_b1_map.json"))
+    )
+    cfg = _toy_cfg(
+        batch_size=1, n_rounds=6,
+        user=UserConfig(label_prob=0.8, mistake_prob=0.1),
+    )
+    res = run_experiment(cfg)
+    np.testing.assert_allclose(res["map"], golden["map"], atol=1e-6)
+    np.testing.assert_allclose(res["ap"], golden["ap"], atol=1e-6)
