@@ -154,6 +154,30 @@ def mirflickr(path: Optional[str] = None) -> Dataset:
                         "mirflickr_labels.npy", (25000, 512, 14))
 
 
+@dataclasses.dataclass
+class RegressionDataset:
+    """Active-regression corpus: features + continuous targets (reference C7)."""
+
+    name: str
+    x: np.ndarray  # (N, D) float32
+    y: np.ndarray  # (N,) float32 true latent values
+
+    @property
+    def n(self) -> int:
+        return self.x.shape[0]
+
+
+def regression_toy(
+    n: int = 500, dim: int = 1, seed: int = 0, noise: float = 0.05
+) -> RegressionDataset:
+    """Smooth synthetic function for the GP-regression active-learning variant."""
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-3.0, 3.0, size=(n, dim)).astype(np.float32)
+    r = np.linalg.norm(x, axis=1)
+    y = (np.sin(2.0 * r) + 0.3 * x[:, 0] + noise * rng.normal(size=n)).astype(np.float32)
+    return RegressionDataset("regression_toy", x, y)
+
+
 def corpus100k(n: int = 100_000, dim: int = 512, n_classes: int = 20, seed: int = 0) -> Dataset:
     """Synthetic 100k-image corpus for the sharded scale-out scenario
     (BASELINE.json config 5)."""

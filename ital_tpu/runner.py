@@ -188,6 +188,56 @@ def _run_session(
     return curve
 
 
+def run_regression_experiment(cfg: ExperimentConfig) -> Dict[str, Any]:
+    """Active GP-regression experiment (reference C7, ``regression*`` modules).
+
+    No query image: the session starts with an empty labeled set; each round the
+    strategy (``ital_regression`` by default, any registered strategy works)
+    picks a batch, the simulated user reports the true value with probability
+    ``label_prob`` plus N(0, noise) observation error, and the metric is the
+    corpus-wide RMSE of the posterior mean — reported per round.
+    """
+    ds = ds_mod.regression_toy(**cfg.dataset_kwargs)
+    x = jnp.asarray(ds.x)
+    y_true = jnp.asarray(ds.y)
+
+    state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap)
+    select = get_strategy(cfg.method)
+    params = StrategyParams(
+        label_prob=jnp.asarray(cfg.user.label_prob),
+        mistake_prob=jnp.asarray(cfg.user.mistake_prob),
+    )
+
+    @jax.jit
+    def round_step(state, key):
+        k_sel, k_lab, k_eps = jax.random.split(key, 3)
+        batch = select(state, cfg.batch_size, k_sel, params)
+        labeled = jax.random.uniform(k_lab, (cfg.batch_size,)) < params.label_prob
+        y_obs = y_true[batch] + jnp.sqrt(state.hyper.noise) * jax.random.normal(
+            k_eps, (cfg.batch_size,)
+        )
+        state = gp_mod.gp_update(state, batch, y_obs, labeled)
+        rmse = jnp.sqrt(jnp.mean((state.mu - y_true) ** 2))
+        return state, rmse
+
+    curves = []
+    for rep in range(cfg.repetitions):
+        state = state0
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), rep)
+        curve = []
+        for rnd in range(cfg.n_rounds):
+            state, rmse = round_step(state, jax.random.fold_in(key, rnd))
+            curve.append(float(rmse))
+        curves.append(curve)
+    rmse = np.asarray(curves)
+    return {
+        "rmse": rmse,
+        "mean_rmse": rmse.mean(axis=0),
+        "dataset": ds.name,
+        "method": cfg.method,
+    }
+
+
 def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Dict[str, Any]:
     """Corpus-sharded experiment over a device mesh (BASELINE.json config 5).
 

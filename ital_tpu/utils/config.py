@@ -30,6 +30,7 @@ class UserConfig:
 
 @dataclasses.dataclass
 class ExperimentConfig:
+    task: str = "retrieval"  # "retrieval" | "regression"
     dataset: str = "toy"
     dataset_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
     method: str = "ital"

@@ -33,10 +33,17 @@ def main(argv=None) -> int:
         print("\n".join(sorted(_FACTORIES)))
         return 0
 
-    from ital_tpu.runner import run_experiment
+    from ital_tpu.runner import run_experiment, run_regression_experiment
     from ital_tpu.utils.config import load_config
 
     cfg = load_config(args.config, tuple(args.overrides))
+    if cfg.task == "regression":
+        result = run_regression_experiment(cfg)
+        print(f"# dataset={result['dataset']} method={result['method']}")
+        print("round  RMSE")
+        for rnd, m in enumerate(result["mean_rmse"]):
+            print(f"{rnd + 1:5d}  {m:.4f}")
+        return 0
     result = run_experiment(cfg)
 
     print(f"# dataset={result['dataset']} method={result['method']} "

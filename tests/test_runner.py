@@ -103,3 +103,25 @@ def test_golden_toy_curve():
     res = run_experiment(cfg)
     np.testing.assert_allclose(res["map"], golden["map"], atol=1e-6)
     np.testing.assert_allclose(res["ap"], golden["ap"], atol=1e-6)
+
+
+def test_regression_experiment_reduces_rmse():
+    """Active GP regression (reference C7): RMSE falls as labels accumulate,
+    and MI-greedy (ital_regression) beats random selection."""
+    import dataclasses
+
+    cfg = ExperimentConfig(
+        dataset="regression_toy",
+        dataset_kwargs=dict(n=300, dim=1, seed=0),
+        method="ital_regression", batch_size=3, n_rounds=6, repetitions=2,
+        seed=0, gp=GPConfig(length_scale=0.6, var=1.0, noise=0.05, cap=24),
+        user=UserConfig(label_prob=1.0),
+    )
+    from ital_tpu.runner import run_regression_experiment
+
+    res = run_regression_experiment(cfg)
+    assert res["rmse"].shape == (2, 6)
+    assert res["mean_rmse"][-1] < res["mean_rmse"][0] * 0.7
+
+    res_rand = run_regression_experiment(dataclasses.replace(cfg, method="random"))
+    assert res["mean_rmse"][-1] <= res_rand["mean_rmse"][-1] + 0.02
