@@ -24,11 +24,14 @@ from ital_tpu.data.user import simulate_feedback
 from ital_tpu.models import gp as gp_mod
 from ital_tpu.select.base import StrategyParams, get_strategy
 from ital_tpu.utils.config import ExperimentConfig
-from ital_tpu.utils.logging import JsonlLogger, Timer
-from ital_tpu.utils.metrics import average_precision
+from ital_tpu.utils.logging import JsonlLogger, Timer, device_mem_mb
+from ital_tpu.utils.metrics import average_precision, recall_at_k
 
 # Strategies that consult the corpus density vector (computed once per dataset).
 DENSITY_STRATEGIES = {"sud", "tcal", "adapt_al"}
+
+# Recall@k cutoffs logged alongside AP each round (BASELINE.md "Recall@k").
+RECALL_KS = (10, 50)
 
 
 def make_step_fns(cfg: ExperimentConfig):
@@ -45,7 +48,10 @@ def make_step_fns(cfg: ExperimentConfig):
         y, valid = simulate_feedback(key, batch, relevant, label_prob, mistake_prob)
         state = gp_mod.gp_update(state, batch, y, valid)
         ap = average_precision(state.mu, relevant, exclude)
-        return state, ap
+        recalls = jnp.stack(
+            [recall_at_k(state.mu, relevant, k, exclude) for k in RECALL_KS]
+        )
+        return state, ap, recalls
 
     return select_step, absorb_step
 
@@ -63,6 +69,8 @@ def run_experiment(
         dataset = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
     if cfg.mesh_devices:
         return run_experiment_sharded(cfg, dataset)
+    if cfg.query_batch and cfg.query_batch > 1:
+        return run_experiment_vmapped(cfg, dataset)
     x = jnp.asarray(dataset.x)
 
     state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap)
@@ -170,7 +178,7 @@ def _run_session(
             batch = select_step(state, k_sel, params)
             batch.block_until_ready()
         with timer.span("update"):
-            state, ap = absorb_step(
+            state, ap, recalls = absorb_step(
                 state, k_user, batch, relevant, exclude, label_prob, mistake_prob
             )
             ap.block_until_ready()
@@ -179,6 +187,8 @@ def _run_session(
             rep=rep, cls=c, query=q, round=rnd, ap=float(ap),
             select_ms=timer.ms("select"), update_ms=timer.ms("update"),
             labeled=int(np.asarray(state.active).sum()),
+            device_mem_mb=round(device_mem_mb(), 1),
+            **{f"recall@{k}": float(r) for k, r in zip(RECALL_KS, np.asarray(recalls))},
         )
         if ckpt_path:
             ckpt.save_session(
@@ -186,6 +196,122 @@ def _run_session(
                 extra={"curve": np.asarray(curve), "next_round": rnd + 1},
             )
     return curve
+
+
+def _session_plan(cfg: ExperimentConfig, dataset: ds_mod.Dataset):
+    """The (rep, class, query) list and per-session PRNG keys — shared by the
+    serial and vmapped paths so their results are bit-identical."""
+    classes = dataset.classes
+    if cfg.max_classes:
+        classes = classes[: cfg.max_classes]
+    rng = np.random.default_rng(cfg.seed)
+    base_key = jax.random.PRNGKey(cfg.seed)
+    plan = []
+    for rep in range(cfg.repetitions):
+        for c in classes:
+            for q in dataset.queries_for_class(int(c), rng, cfg.queries_per_class):
+                skey = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.fold_in(base_key, rep), int(c)),
+                    int(q),
+                )
+                plan.append((rep, int(c), int(q), skey))
+    return plan
+
+
+def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Dict[str, Any]:
+    """Multi-session throughput mode: ``cfg.query_batch`` sessions per vmap.
+
+    The corpus is shared; per-session state (label buffers, Cholesky factor,
+    whitened kernel, posterior) gains a leading session axis.  Selection, the
+    simulated user, the GP update, ranking, and AP all vmap — one device
+    program advances a whole cohort of retrieval sessions per round, which is
+    the serving-throughput story (the reference can only loop sessions in
+    Python).  Uses the same per-session key derivation as the serial path, so
+    per-session curves are identical to serial runs (tested).
+    """
+    x = jnp.asarray(dataset.x)
+    n = dataset.n
+    state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap)
+    if cfg.method in DENSITY_STRATEGIES:
+        state0 = state0.replace(density=gp_mod.corpus_density(state0))
+
+    params = StrategyParams(
+        label_prob=jnp.asarray(cfg.user.label_prob),
+        mistake_prob=jnp.asarray(cfg.user.mistake_prob),
+        tradeoff=jnp.asarray(float(cfg.method_kwargs.get("tradeoff", 0.5))),
+    )
+    method_kwargs = {k: v for k, v in cfg.method_kwargs.items() if k != "tradeoff"}
+    select = get_strategy(cfg.method)
+    label_prob = jnp.asarray(cfg.user.label_prob)
+    mistake_prob = jnp.asarray(cfg.user.mistake_prob)
+
+    # Per-session state axes: every leaf of GPState EXCEPT the shared corpus x
+    # and the (scalar pytree) hyperparameters.
+    state_axes = gp_mod.GPState(
+        x=None, idx=0, y=0, valid=0, count=0, l=0, beta=0, v=0, mu=0, sig2=0,
+        hyper=gp_mod.GPHyper(length_scale=None, var=None, noise=None),
+        density=None if state0.density is None else None,
+    )
+
+    # The template state is shared (in_axes None); batching enters through the
+    # per-session query indices and flows into the label buffers / posterior.
+    set_query_v = jax.jit(
+        jax.vmap(gp_mod.gp_set_query, in_axes=(None, 0), out_axes=state_axes)
+    )
+
+    def one_round(state, key, relevant, exclude):
+        k_sel, k_user = jax.random.split(key)
+        batch = select(state, cfg.batch_size, k_sel, params, **method_kwargs)
+        y, valid = simulate_feedback(k_user, batch, relevant, label_prob, mistake_prob)
+        state = gp_mod.gp_update(state, batch, y, valid)
+        ap = average_precision(state.mu, relevant, exclude)
+        return state, ap
+
+    round_v = jax.jit(
+        jax.vmap(one_round, in_axes=(state_axes, 0, 0, 0), out_axes=(state_axes, 0))
+    )
+
+    plan = _session_plan(cfg, dataset)
+    logger = JsonlLogger(cfg.log_jsonl)
+    timer = Timer()
+    ap_rows = np.zeros((len(plan), cfg.n_rounds))
+
+    qb = cfg.query_batch
+    for chunk_start in range(0, len(plan), qb):
+        chunk = plan[chunk_start : chunk_start + qb]
+        k = len(chunk)
+        # Pad the last chunk by repeating its first session (results discarded).
+        padded = chunk + [chunk[0]] * (qb - k)
+        qs = jnp.asarray([q for _, _, q, _ in padded], jnp.int32)
+        relevant = jnp.asarray(
+            np.stack([dataset.relevance[:, c] for _, c, _, _ in padded])
+        )
+        exclude = jnp.zeros((qb, n), bool).at[jnp.arange(qb), qs].set(True)
+        skeys = jnp.stack([sk for *_, sk in padded])
+
+        state = set_query_v(state0, qs)
+        for rnd in range(cfg.n_rounds):
+            rkeys = jax.vmap(lambda sk: jax.random.fold_in(sk, rnd))(skeys)
+            with timer.span("round"):
+                state, ap = round_v(state, rkeys, relevant, exclude)
+                ap.block_until_ready()
+            ap_rows[chunk_start : chunk_start + k, rnd] = np.asarray(ap)[:k]
+            for j, (rep, c, q, _) in enumerate(chunk):
+                logger.log(rep=rep, cls=c, query=q, round=rnd,
+                           ap=float(np.asarray(ap)[j]),
+                           round_ms=timer.ms("round"), query_batch=qb)
+    logger.close()
+
+    return {
+        "ap": ap_rows,
+        "map": ap_rows.mean(axis=0) if ap_rows.size else np.zeros(cfg.n_rounds),
+        "select_ms": timer.ms("round"),
+        "update_ms": 0.0,
+        "sessions": [{"rep": r, "cls": c, "query": q} for r, c, q, _ in plan],
+        "dataset": dataset.name,
+        "method": cfg.method,
+        "query_batch": cfg.query_batch,
+    }
 
 
 def run_regression_experiment(cfg: ExperimentConfig) -> Dict[str, Any]:

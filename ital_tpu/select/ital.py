@@ -113,6 +113,7 @@ def mi_scores_from_moments(
     *,
     t: int,
     n_qmc: int = 128,
+    block: int = 8192,
 ) -> jax.Array:
     """MI of appending each candidate to the partial batch, from posterior moments.
 
@@ -141,7 +142,21 @@ def mi_scores_from_moments(
         p_r = orthant_probs_all_configs(mu, chol, signs, n_points=n_qmc)
         return mutual_information_from_relevance(p_r, pfr)
 
-    return jax.vmap(one_candidate)(mu_cand, sig2_cand, cross)
+    score_block = jax.vmap(one_candidate)
+    nc = mu_cand.shape[0]
+    if nc <= block:
+        return score_block(mu_cand, sig2_cand, cross)
+
+    # Stream the candidate axis in fixed-size blocks: the QMC chain's
+    # (candidates x 2^m x n_qmc) working set stays VMEM/HBM-friendly at any
+    # corpus size (the unblocked form carries ~6 GB at N=100k, m=4).
+    nblocks = -(-nc // block)
+    pad = nblocks * block - nc
+    mu_p = jnp.pad(mu_cand, (0, pad)).reshape(nblocks, block)
+    s2_p = jnp.pad(sig2_cand, (0, pad), constant_values=1.0).reshape(nblocks, block)
+    cr_p = jnp.pad(cross, ((0, pad), (0, 0))).reshape(nblocks, block, t)
+    out = jax.lax.map(lambda args: score_block(*args), (mu_p, s2_p, cr_p))
+    return out.reshape(nblocks * block)[:nc]
 
 
 def score_candidates_mi(
@@ -172,16 +187,32 @@ def select_ital(
     params: StrategyParams,
     *,
     n_qmc: int = 128,
+    pool_size: int = 0,
 ) -> jax.Array:
     """Greedy ITAL batch construction (reference ``ITAL.fetch_unlabelled``).
 
     Grows the batch one candidate at a time, rescoring all remaining candidates
     at each step against the partial batch; the greedy loop is unrolled (static
     ``batch_size``), so the whole selection is one jittable computation.
+
+    ``pool_size > 0`` restricts selection to the ``pool_size`` top-ranked
+    candidates by current posterior mean — the reference's candidate-pool
+    subsampling for tractability.  On TPU all candidates are scored anyway
+    (one vmap); the restriction is a mask, reproducing the reference's
+    selection semantics at zero extra cost.
     """
     del key  # deterministic given the fixed QMC lattice
 
+    if pool_size:
+        thresh = jax.lax.top_k(state.mu, pool_size)[0][-1]
+        outside_pool = state.mu < thresh
+    else:
+        outside_pool = None
+
     def score(batch, t):
-        return score_candidates_mi(state, batch, t, params, n_qmc=n_qmc)
+        s = score_candidates_mi(state, batch, t, params, n_qmc=n_qmc)
+        if outside_pool is not None:
+            s = jnp.where(outside_pool, -jnp.inf, s)
+        return s
 
     return greedy_argmax_batch(score, state, batch_size)

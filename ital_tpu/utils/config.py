@@ -51,6 +51,11 @@ class ExperimentConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace output
     # Parallelism (SURVEY.md section 2.3): number of mesh devices (0 = single).
     mesh_devices: int = 0
+    # Sessions processed simultaneously via vmap (0/1 = serial).  Multiplies
+    # experiment/serving throughput; bit-identical per-session results to the
+    # serial path (same fold_in key derivation).  Checkpoint/resume is only
+    # supported in serial mode.
+    query_batch: int = 0
 
     @property
     def cap(self) -> int:

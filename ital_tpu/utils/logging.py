@@ -13,6 +13,17 @@ import time
 from typing import Any, Optional, TextIO
 
 
+def device_mem_mb() -> float:
+    """Bytes in use on device 0, in MB (0.0 when the backend has no stats)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return stats.get("bytes_in_use", 0) / 1e6
+    except Exception:
+        return 0.0
+
+
 class JsonlLogger:
     def __init__(self, path: Optional[str]):
         self._fh: Optional[TextIO] = open(path, "a") if path else None

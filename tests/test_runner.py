@@ -125,3 +125,15 @@ def test_regression_experiment_reduces_rmse():
 
     res_rand = run_regression_experiment(dataclasses.replace(cfg, method="random"))
     assert res["mean_rmse"][-1] <= res_rand["mean_rmse"][-1] + 0.02
+
+
+def test_vmapped_query_batch_matches_serial():
+    """query_batch mode: identical per-session AP curves to the serial path."""
+    import dataclasses
+
+    base = _toy_cfg(batch_size=2, n_rounds=3,
+                    user=UserConfig(label_prob=0.8, mistake_prob=0.1))
+    serial = run_experiment(base)
+    batched = run_experiment(dataclasses.replace(base, query_batch=2))
+    assert batched["query_batch"] == 2
+    np.testing.assert_allclose(batched["ap"], serial["ap"], atol=1e-5)
