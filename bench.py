@@ -79,11 +79,15 @@ def time_tpu(ds, idx, ys) -> float:
     )
     key = jax.random.PRNGKey(0)
     select(state, key).block_until_ready()  # compile
-    reps = 5
-    t0 = time.perf_counter()
+    # Median over reps: the tunneled/shared TPU shows large ambient run-to-run
+    # variance, and the mean over-weights contended windows.
+    reps = 15
+    times = []
     for r in range(reps):
+        t0 = time.perf_counter()
         select(state, jax.random.fold_in(key, r)).block_until_ready()
-    return (time.perf_counter() - t0) / reps * 1e3
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) * 1e3
 
 
 def time_cpu(ds, idx, ys, tpu_batch) -> float:

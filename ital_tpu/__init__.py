@@ -48,11 +48,22 @@ import os as _os
 # minutes to compile at MIRFLICKR scale; caching makes every process after the
 # first start warm.  Opt out with ITAL_TPU_NO_CACHE=1.
 if not _os.environ.get("ITAL_TPU_NO_CACHE"):
+    import hashlib as _hashlib
+    import platform as _platform
+
     import jax as _jax
 
+    # Scope the cache by a host fingerprint: CPU AOT artifacts compiled with
+    # different machine features SIGILL when loaded on another host.
+    try:
+        with open("/proc/cpuinfo") as _fh:
+            _flags = next((l for l in _fh if l.startswith("flags")), _platform.machine())
+    except OSError:
+        _flags = _platform.machine()
+    _fp = _hashlib.sha1(_flags.encode()).hexdigest()[:10]
     _cache_dir = _os.environ.get(
         "ITAL_TPU_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "ital_tpu_xla"),
+        _os.path.join(_os.path.expanduser("~"), ".cache", f"ital_tpu_xla_{_fp}"),
     )
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

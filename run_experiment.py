@@ -6,55 +6,14 @@ L5) — same UX: an .ini config plus ``SECTION.key=value`` overrides::
 
     python run_experiment.py configs/toy.ini
     python run_experiment.py configs/usps.ini EXPERIMENT.method=uncertainty_sampling
+
+Delegates to :mod:`ital_tpu.cli` (the same logic backs the installed
+``ital-tpu`` console script).
 """
 
-from __future__ import annotations
-
-import argparse
 import sys
 
-
-def main(argv=None) -> int:
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("config", nargs="?", default=None, help=".ini config file")
-    parser.add_argument("overrides", nargs="*", help="SECTION.key=value overrides")
-    parser.add_argument("--list-strategies", action="store_true")
-    parser.add_argument("--list-datasets", action="store_true")
-    args = parser.parse_args(argv)
-
-    if args.list_strategies:
-        from ital_tpu.select import STRATEGIES
-
-        print("\n".join(sorted(STRATEGIES)))
-        return 0
-    if args.list_datasets:
-        from ital_tpu.data.datasets import _FACTORIES
-
-        print("\n".join(sorted(_FACTORIES)))
-        return 0
-
-    from ital_tpu.runner import run_experiment, run_regression_experiment
-    from ital_tpu.utils.config import load_config
-
-    cfg = load_config(args.config, tuple(args.overrides))
-    if cfg.task == "regression":
-        result = run_regression_experiment(cfg)
-        print(f"# dataset={result['dataset']} method={result['method']}")
-        print("round  RMSE")
-        for rnd, m in enumerate(result["mean_rmse"]):
-            print(f"{rnd + 1:5d}  {m:.4f}")
-        return 0
-    result = run_experiment(cfg)
-
-    print(f"# dataset={result['dataset']} method={result['method']} "
-          f"sessions={len(result['sessions'])}")
-    print(f"# mean select {result['select_ms']:.2f} ms/round, "
-          f"update+rank+AP {result['update_ms']:.2f} ms/round")
-    print("round  MAP")
-    for rnd, m in enumerate(result["map"]):
-        print(f"{rnd + 1:5d}  {m:.4f}")
-    return 0
-
+from ital_tpu.cli import main
 
 if __name__ == "__main__":
     sys.exit(main())

@@ -137,3 +137,27 @@ def test_vmapped_query_batch_matches_serial():
     batched = run_experiment(dataclasses.replace(base, query_batch=2))
     assert batched["query_batch"] == 2
     np.testing.assert_allclose(batched["ap"], serial["ap"], atol=1e-5)
+
+
+def test_golden_digits_batch_curve():
+    """Batch-path golden (b=2 on a 600-image digit subset, noisy user)."""
+    import json
+    import os
+
+    from ital_tpu.data.datasets import Dataset, digits
+
+    golden = json.load(
+        open(os.path.join(os.path.dirname(__file__), "golden", "digits_b2_map.json"))
+    )
+    ds = digits()
+    keep = np.arange(0, 1797, 3)
+    ds_small = Dataset("digits600", ds.x[keep], ds.labels[keep],
+                       ds.relevance[keep], ds.classes)
+    cfg = ExperimentConfig(
+        dataset="digits", method="ital", batch_size=2, n_rounds=5, repetitions=1,
+        queries_per_class=1, max_classes=3, seed=0,
+        gp=GPConfig(length_scale=2.2, var=1.0, noise=0.1, cap=16),
+        user=UserConfig(label_prob=0.9, mistake_prob=0.05),
+    )
+    res = run_experiment(cfg, dataset=ds_small)
+    np.testing.assert_allclose(res["map"], golden["map"], atol=1e-6)
