@@ -126,3 +126,79 @@ def test_uncertainty_masking_note():
     _, batch, _ = round_fn(state, jax.random.PRNGKey(1), relevant, sel_forbid,
                            ap_exclude, params)
     assert (np.asarray(batch) < ds.n).all()
+
+
+@pytest.mark.parametrize("strategy", ["emoc", "mcmi_min"])
+def test_ring_strategies_match_single_device(strategy):
+    """Ring-pass EMOC/MCMI over 8 shards == the single-device blockwise scores."""
+    from ital_tpu.select.base import get_strategy, labeled_mask
+
+    ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = _setup()
+    state_s = _warmed(state0, ds, query)
+
+    # Single-device reference batch with the same pad-forbid mask.
+    from ital_tpu.select.baselines import select_emoc, select_mcmi_min
+
+    ref_fn = select_emoc if strategy == "emoc" else select_mcmi_min
+    # Compute reference scores on the unsharded state, then greedy with mask.
+    key = jax.random.PRNGKey(3)
+    # Reference full greedy (its own mask excludes labeled only) — emulate the
+    # sharded mask by scoring then masking manually.
+    if strategy == "emoc":
+        from ital_tpu.ops.kernels import blockwise_reduce_abs_kpost
+        from ital_tpu.select.baselines import _p_relevant
+
+        n = state_s.x.shape[0]
+        colabs = blockwise_reduce_abs_kpost(
+            state_s.x, state_s.v, jnp.arange(n),
+            state_s.hyper.length_scale, state_s.hyper.var,
+        )
+        p_pos = _p_relevant(state_s)
+        exp_change = p_pos * jnp.abs(1 - state_s.mu) + (1 - p_pos) * jnp.abs(-1 - state_s.mu)
+        scores_ref = exp_change / (state_s.sig2 + state_s.hyper.noise) * colabs
+    else:
+        # Reuse the single-device strategy's internal scoring by running its
+        # greedy on a state where pads can't win (they can: x=0 rows cluster)
+        # — instead recompute via the sharded function on a 1-device mesh.
+        mesh1 = make_mesh(1)
+        from ital_tpu.parallel.sharded import _sharded_mcmi_scores, state_pspecs
+        from jax.sharding import PartitionSpec as P
+
+        specs = state_pspecs(state_s)
+        pspecs = jax.tree.map(lambda _: P(), params,
+                              is_leaf=lambda v: not isinstance(v, type(params)))
+        fn1 = jax.shard_map(
+            lambda st, p: _sharded_mcmi_scores(st, p),
+            mesh=mesh1, in_specs=(specs, pspecs), out_specs=P("data"),
+            check_vma=False,
+        )
+        scores_ref = fn1(jax.device_put(state_s), params)
+
+    # Sharded scores over the 8-device mesh.
+    from ital_tpu.parallel.sharded import (
+        _sharded_emoc_scores, _sharded_mcmi_scores, state_pspecs,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    specs = state_pspecs(state_s)
+    pspecs = jax.tree.map(lambda _: P(), params,
+                          is_leaf=lambda v: not isinstance(v, type(params)))
+    fn = jax.shard_map(
+        (_sharded_emoc_scores if strategy == "emoc" else _sharded_mcmi_scores),
+        mesh=mesh, in_specs=(specs, pspecs), out_specs=P("data"),
+        check_vma=False,
+    )
+    scores_m = fn(shard_state(state_s, mesh), params)
+
+    np.testing.assert_allclose(
+        np.asarray(scores_m), np.asarray(scores_ref), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_sharded_round_emoc_runs():
+    ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = _setup()
+    state = shard_state(_warmed(state0, ds, query), mesh)
+    round_fn = make_sharded_round(mesh, strategy="emoc", batch_size=3)
+    _, batch, ap = round_fn(state, jax.random.PRNGKey(0), relevant, sel_forbid,
+                            ap_exclude, params)
+    assert (np.asarray(batch) < ds.n).all() and np.isfinite(float(ap))
