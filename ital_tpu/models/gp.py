@@ -200,6 +200,12 @@ def gp_update(
       new_idx: (b,) global corpus indices shown to the user this round.
       new_y: (b,) labels in {-1, +1} (ignored where ``new_valid`` is False).
       new_valid: (b,) bool — False where the user skipped the item.
+
+    Capacity: callers must ensure ``count + b <= cap`` — ``count`` is traced,
+    so this cannot raise under jit; past capacity, ``dynamic_update_slice``
+    clamps the write offset and would silently overwrite the last slots.  The
+    runner auto-sizes ``cap`` from ``n_rounds * batch_size``; the interactive
+    session API checks on the host (``ActiveRetrieval.update``).
     """
     h = state.hyper
     b = new_idx.shape[0]

@@ -87,6 +87,12 @@ class ActiveRetrieval:
         """
         if not feedback:
             return
+        used = int(np.asarray(self.state.count))
+        if used + len(feedback) > self.state.cap:
+            raise ValueError(
+                f"labeled-slot capacity exceeded: {used} used + {len(feedback)} new "
+                f"> cap={self.state.cap}; construct the session with a larger `cap`"
+            )
         idx = np.fromiter(feedback.keys(), dtype=np.int32)
         raw = [0 if v is None else int(v) for v in feedback.values()]
         y = np.asarray(raw, dtype=np.float32)

@@ -58,3 +58,14 @@ def test_checkpoint_roundtrip(tmp_path):
     fresh.state = restored
     batch2 = fresh.fetch_unlabelled(2)
     assert batch2.shape == (2,)
+
+
+def test_capacity_overflow_raises():
+    ds, sess = _session(strategy="random")
+    sess.state = sess.state.replace(count=sess.state.count + 14)  # 14/16 used
+    sess.update_query(0)  # resets to 1 used
+    sess.state = sess.state.replace(count=sess.state.count + 14)  # 15/16
+    import pytest
+
+    with pytest.raises(ValueError, match="capacity exceeded"):
+        sess.update({1: 1, 2: -1})
