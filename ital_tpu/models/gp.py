@@ -203,9 +203,10 @@ def gp_update(
 
     Capacity: callers must ensure ``count + b <= cap`` — ``count`` is traced,
     so this cannot raise under jit; past capacity, ``dynamic_update_slice``
-    clamps the write offset and would silently overwrite the last slots.  The
-    runner auto-sizes ``cap`` from ``n_rounds * batch_size``; the interactive
-    session API checks on the host (``ActiveRetrieval.update``).
+    clamps the write offset and would silently overwrite the last slots.  Both
+    host-side entry points enforce it: the runner validates
+    ``1 + n_rounds * batch_size <= cap`` up front and the interactive session
+    API checks per update (``ActiveRetrieval.update``).
     """
     h = state.hyper
     b = new_idx.shape[0]
@@ -303,20 +304,17 @@ def corpus_density(state: GPState, *, block_rows: int = 2048) -> jax.Array:
     should compute it once per dataset and reuse it.  Blockwise — never
     materializes N x N at once.
     """
-    from ital_tpu.ops.kernels import rbf_kernel
+    from ital_tpu.ops.blocking import blocked_map
+    from ital_tpu.ops.pallas_rbf import rbf_kernel_auto
 
     x = state.x
-    n = x.shape[0]
-    nblocks = -(-n // block_rows)
-    pad = nblocks * block_rows - n
-    xb = jnp.pad(x, ((0, pad), (0, 0))).reshape(nblocks, block_rows, x.shape[1])
-    means = jax.lax.map(
+    return blocked_map(
         lambda blk: jnp.mean(
-            rbf_kernel(blk, x, state.hyper.length_scale, 1.0), axis=1
+            rbf_kernel_auto(blk, x, state.hyper.length_scale, 1.0), axis=1
         ),
-        xb,
+        (x,),
+        block=block_rows,
     )
-    return means.reshape(nblocks * block_rows)[:n]
 
 
 def gp_updated_mean_delta(

@@ -60,16 +60,12 @@ def rbf_kernel_blockwise(
 
     Functionally identical to :func:`rbf_kernel`; bounds peak memory for the
     intermediate distance computation when M is large (streaming over HBM).
-    ``a``'s row count must be padded to a multiple of ``block_rows`` by the
-    caller or is padded here (result is sliced back).
     """
-    m = a.shape[0]
-    nblocks = -(-m // block_rows)
-    pad = nblocks * block_rows - m
-    a_pad = jnp.pad(a, ((0, pad), (0, 0)))
-    blocks = a_pad.reshape(nblocks, block_rows, a.shape[1])
-    out = jax.lax.map(lambda blk: rbf_kernel(blk, b, length_scale, var), blocks)
-    return out.reshape(nblocks * block_rows, b.shape[0])[:m]
+    from ital_tpu.ops.blocking import blocked_map
+
+    return blocked_map(
+        lambda blk: rbf_kernel(blk, b, length_scale, var), (a,), block=block_rows
+    )
 
 
 def blockwise_reduce_abs_kpost(
@@ -90,22 +86,20 @@ def blockwise_reduce_abs_kpost(
     EMOC baseline (reference: ``italia/baseline_methods.py :: EMOC``) whose
     expected model-output change is ``E_y |Delta mu|``, a column-abs-sum of the
     posterior covariance.  Streams over candidate blocks to keep the (N, block)
-    intermediate in VMEM-sized chunks.
+    intermediate in VMEM-sized chunks; kernel blocks go through the fused
+    Pallas tile kernel on TPU (:mod:`ital_tpu.ops.pallas_rbf`).
     """
+    from ital_tpu.ops.blocking import blocked_map
+    from ital_tpu.ops.pallas_rbf import rbf_kernel_auto
+
     n = x.shape[0]
-    ncand = cand_idx.shape[0]
-    nblocks = -(-ncand // block)
-    pad = nblocks * block - ncand
-    ci = jnp.pad(cand_idx, (0, pad))
-    ci_blocks = ci.reshape(nblocks, block)
     w = jnp.ones((n,), x.dtype) if weights is None else weights
 
     def one_block(idx_blk):
         xc = x[idx_blk]  # (block, D)
-        k_cross = rbf_kernel(x, xc, length_scale, var)  # (N, block)
+        k_cross = rbf_kernel_auto(x, xc, length_scale, var)  # (N, block)
         vc = v[:, idx_blk]  # (cap, block)
         k_post = k_cross - jnp.dot(v.T, vc, preferred_element_type=jnp.float32)
         return jnp.sum(jnp.abs(k_post) * w[:, None], axis=0)  # (block,)
 
-    out = jax.lax.map(one_block, ci_blocks)
-    return out.reshape(nblocks * block)[:ncand]
+    return blocked_map(one_block, (cand_idx,), block=block)

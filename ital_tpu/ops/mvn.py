@@ -221,6 +221,77 @@ def mvn_orthant_prob(
     return jnp.mean(f)
 
 
+@functools.partial(jax.jit, static_argnames=("n_points", "normalize"))
+def orthant_probs_all_configs_tree(
+    mu: jax.Array,
+    chol_cov: jax.Array,
+    *,
+    n_points: int = 128,
+    shift: jax.Array | None = None,
+    normalize: bool = True,
+) -> jax.Array:
+    """All 2^m orthant probabilities via a sign-prefix tree — shared conditioning.
+
+    The 2^m sign configurations form a binary tree over prefixes
+    (s_0, .., s_i): two configurations that agree on the first i signs share
+    the identical Genz conditioning chain up to dimension i.  Evaluating level
+    by level (2^i nodes at level i, each a (n_points,) lane) costs
+    sum_i 2^i = 2^m - 2 sampled-dimension evaluations instead of the naive
+    (m-1) * 2^m — a ~3.4x reduction of the ndtri/Phi chain at m=4, which
+    dominates the MI scan's device time.
+
+    Returns probabilities in the ``sign_table(m)`` order (itertools.product
+    with -1 before +1, first dimension varying slowest); exact same estimator
+    as vmapping :func:`mvn_orthant_prob` over the table (tested to fp
+    tolerance).  Vmappable over candidates.
+    """
+    m = mu.shape[0]
+    c = chol_cov
+    dt = mu.dtype
+    lim = -mu
+    cdiag = jnp.maximum(jnp.diag(c), 1e-6)
+
+    t0 = lim[0] / cdiag[0]
+    p0 = _phi(t0)
+    zero = jnp.zeros((), dt)
+    one = jnp.ones((), dt)
+    # Node order [s_0 = -1, s_0 = +1] matches sign_table's slowest-first bit.
+    d = jnp.stack([zero, p0])  # (2,)
+    e = jnp.stack([p0, one])
+    f = e - d
+    if m == 1:
+        return f / jnp.maximum(jnp.sum(f), 1e-12) if normalize else f
+
+    w = jnp.asarray(richtmyer_lattice(n_points, m - 1), dt)  # (P, m-1)
+    if shift is not None:
+        w = jnp.mod(w + shift[None, :], 1.0)
+
+    nodes = 2
+    d = jnp.broadcast_to(d[:, None], (nodes, n_points))
+    e = jnp.broadcast_to(e[:, None], (nodes, n_points))
+    f = jnp.broadcast_to(f[:, None], (nodes, n_points))
+    yh = jnp.zeros((nodes, n_points, 0), dt)
+
+    for i in range(1, m):
+        u = jnp.clip(d + w[None, :, i - 1] * (e - d), _EPS, 1.0 - _EPS)
+        y = fast_ndtri(u)  # (nodes, P)
+        yh = jnp.concatenate([yh, y[..., None]], axis=-1)  # (nodes, P, i)
+        t = (lim[i] - yh @ c[i, :i]) / cdiag[i]  # (nodes, P)
+        p = _phi(t)
+        # Split each node into (s_i = -1, s_i = +1) children, flat order 2n+b.
+        d = jnp.stack([jnp.zeros_like(p), p], axis=1).reshape(2 * nodes, n_points)
+        e = jnp.stack([p, jnp.ones_like(p)], axis=1).reshape(2 * nodes, n_points)
+        band = e - d
+        f = jnp.repeat(f, 2, axis=0) * band
+        yh = jnp.repeat(yh, 2, axis=0)
+        nodes *= 2
+
+    probs = jnp.mean(f, axis=-1)  # (2^m,)
+    if normalize:
+        probs = probs / jnp.maximum(jnp.sum(probs), 1e-12)
+    return probs
+
+
 def orthant_probs_all_configs(
     mu: jax.Array,
     chol_cov: jax.Array,

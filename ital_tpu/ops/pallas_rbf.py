@@ -57,9 +57,17 @@ def rbf_kernel_pallas(
     """
     m, d = a.shape
     n = b.shape[0]
-    if m % tile_m or n % tile_n:
-        # Fall back rather than silently mis-tile.
-        return _rbf_lax(a, b, length_scale, var)
+    pad_m = (-m) % tile_m
+    pad_n = (-n) % tile_n
+    if pad_m or pad_n:
+        # Pad to tile multiples; the padded rows produce garbage kernel values
+        # (k(0, x) != 0) that are sliced away below.
+        out = rbf_kernel_pallas(
+            jnp.pad(a, ((0, pad_m), (0, 0))),
+            jnp.pad(b, ((0, pad_n), (0, 0))),
+            length_scale, var, tile_m=tile_m, tile_n=tile_n,
+        )
+        return out[:m, :n]
 
     inv2l2 = jnp.asarray(
         1.0 / (2.0 * jnp.asarray(length_scale, jnp.float32) ** 2), jnp.float32
@@ -89,7 +97,17 @@ def rbf_kernel_pallas(
 
 
 def rbf_kernel_auto(a, b, length_scale, var=1.0):
-    """Pallas on TPU when shapes tile cleanly; lax everywhere else."""
-    if jax.default_backend() == "tpu" and a.shape[0] % 256 == 0 and b.shape[0] % 256 == 0:
+    """Fused Pallas tile kernel on TPU for large blocks; lax elsewhere.
+
+    The Pallas path wins when the (M, N) output is big enough to amortize tile
+    padding (both dims >= 512); the corpus-wide kernels of the GP fit/update
+    and the density/EMOC streams qualify, per-candidate small blocks do not.
+    """
+    if (
+        jax.default_backend() == "tpu"
+        and a.ndim == 2
+        and a.shape[0] >= 512
+        and b.shape[0] >= 512
+    ):
         return rbf_kernel_pallas(a, b, length_scale, var)
     return _rbf_lax(a, b, length_scale, var)

@@ -191,13 +191,17 @@ def _sharded_ital_scores(state, batch, t, params, n_qmc):
     )
 
 
-def _sharded_emoc_scores(state: GPState, params: StrategyParams) -> jax.Array:
+def _sharded_emoc_scores(
+    state: GPState, params: StrategyParams, pad_local: jax.Array
+) -> jax.Array:
     """EMOC over the sharded corpus: column-abs-sums via a ring pass.
 
     Each chip keeps its candidate columns ``V[:, local]`` fixed and accumulates
     ``sum_x |k(x, c) - V[:,x].V[:,c]|`` as every (x block, V block) pair visits
     over the ICI ring — the O(N^2) interaction split p ways (see
-    :mod:`ital_tpu.parallel.ring`).
+    :mod:`ital_tpu.parallel.ring`).  ``pad_local`` flags this shard's pad rows;
+    the mask travels the ring so pad rows never contribute to the reduction
+    (they would otherwise skew scores whenever N % n_dev != 0).
     """
     from ital_tpu.ops.kernels import rbf_kernel
     from ital_tpu.parallel.ring import ring_reduce_over_corpus
@@ -205,30 +209,36 @@ def _sharded_emoc_scores(state: GPState, params: StrategyParams) -> jax.Array:
 
     h = state.hyper
     xc, vc = state.x, state.v  # local candidates
+    valid_local = 1.0 - pad_local.astype(state.mu.dtype)
 
     def acc_fn(acc, blk):
-        xb, vtb = blk
+        xb, vtb, valid_b = blk
         k = rbf_kernel(xb, xc, h.length_scale, h.var)  # (blk_n, n_loc)
         k_post = k - jnp.dot(vtb, vc, preferred_element_type=jnp.float32).astype(
             state.mu.dtype
         )
-        return acc + jnp.sum(jnp.abs(k_post), axis=0)
+        return acc + jnp.sum(jnp.abs(k_post) * valid_b[:, None], axis=0)
 
     colabs = ring_reduce_over_corpus(
-        (state.x, state.v.T), acc_fn, jnp.zeros(xc.shape[0], state.mu.dtype)
+        (state.x, state.v.T, valid_local),
+        acc_fn,
+        jnp.zeros(xc.shape[0], state.mu.dtype),
     )
     p_pos = _p_relevant(state)
     exp_change = p_pos * jnp.abs(1.0 - state.mu) + (1 - p_pos) * jnp.abs(-1.0 - state.mu)
     return exp_change / (state.sig2 + h.noise) * colabs
 
 
-def _sharded_mcmi_scores(state: GPState, params: StrategyParams) -> jax.Array:
+def _sharded_mcmi_scores(
+    state: GPState, params: StrategyParams, pad_local: jax.Array
+) -> jax.Array:
     """MCMI[min] over the sharded corpus: hypothetical-entropy sums via the ring.
 
     For each local candidate c and both hypothetical labels y, accumulates the
     binary entropy of the one-point-updated posterior over every visiting
-    corpus block; the score is ``-max_y`` of the total (same math as the
-    single-device ``select_mcmi_min``).
+    corpus block (pad rows masked out via the traveling ``pad_local`` flags);
+    the score is ``-max_y`` of the total (same math as the single-device
+    ``select_mcmi_min``).
     """
     from ital_tpu.ops.kernels import rbf_kernel
     from ital_tpu.parallel.ring import ring_reduce_over_corpus
@@ -239,9 +249,10 @@ def _sharded_mcmi_scores(state: GPState, params: StrategyParams) -> jax.Array:
     denom = state.sig2 + h.noise  # (n_loc,) per candidate
     gain_pos = (1.0 - state.mu) / denom
     gain_neg = (-1.0 - state.mu) / denom
+    valid_local = 1.0 - pad_local.astype(state.mu.dtype)
 
     def acc_fn(acc, blk):
-        xb, vtb, mu_b, sig2_b = blk
+        xb, vtb, mu_b, sig2_b, valid_b = blk
         k = rbf_kernel(xb, xc, h.length_scale, h.var)
         k_post = k - jnp.dot(vtb, vc, preferred_element_type=jnp.float32).astype(
             state.mu.dtype
@@ -251,13 +262,15 @@ def _sharded_mcmi_scores(state: GPState, params: StrategyParams) -> jax.Array:
 
         def ent(gain):
             mu_new = mu_b[:, None] + k_post * gain[None, :]
-            return jnp.sum(_binary_entropy(_phi(mu_new / sig_new)), axis=0)
+            return jnp.sum(
+                _binary_entropy(_phi(mu_new / sig_new)) * valid_b[:, None], axis=0
+            )
 
         return acc[0] + ent(gain_pos), acc[1] + ent(gain_neg)
 
     zero = jnp.zeros(xc.shape[0], state.mu.dtype)
     h_pos, h_neg = ring_reduce_over_corpus(
-        (state.x, state.v.T, state.mu, state.sig2), acc_fn, (zero, zero)
+        (state.x, state.v.T, state.mu, state.sig2, valid_local), acc_fn, (zero, zero)
     )
     return -jnp.maximum(h_pos, h_neg)
 
@@ -311,16 +324,17 @@ def make_sharded_round(
         k_sel, k_user = jax.random.split(key)
 
         # --- greedy selection with collective argmax ---
-        forbid = local_slot_mask(state, extra_forbid=sel_forbid_local(state, sel_forbid))
+        pad_local = sel_forbid_local(state, sel_forbid)
+        forbid = local_slot_mask(state, extra_forbid=pad_local)
         batch = jnp.zeros((batch_size,), jnp.int32)
         neg = jnp.asarray(-jnp.inf, state.mu.dtype)
         for t in range(batch_size):
             if strategy == "ital":
                 scores = _sharded_ital_scores(state, batch, t, params, n_qmc)
             elif strategy == "emoc":
-                scores = _sharded_emoc_scores(state, params) if t == 0 else scores
+                scores = _sharded_emoc_scores(state, params, pad_local) if t == 0 else scores
             elif strategy == "mcmi_min":
-                scores = _sharded_mcmi_scores(state, params) if t == 0 else scores
+                scores = _sharded_mcmi_scores(state, params, pad_local) if t == 0 else scores
             else:
                 scores = _local_score_fn(strategy)(state, k_sel)
             scores = jnp.where(forbid, neg, scores)

@@ -34,6 +34,22 @@ DENSITY_STRATEGIES = {"sud", "tcal", "adapt_al"}
 RECALL_KS = (10, 50)
 
 
+def _check_capacity(cfg: ExperimentConfig) -> None:
+    """Fail fast when the labeled buffers cannot hold the whole experiment.
+
+    The jitted update cannot check (``count`` is traced) and
+    ``dynamic_update_slice`` would clamp the offset and silently corrupt the
+    last slots, so the host enforces it up front.
+    """
+    needed = 1 + cfg.n_rounds * cfg.batch_size
+    if needed > cfg.cap:
+        raise ValueError(
+            f"labeled-slot capacity too small: query + {cfg.n_rounds} rounds x "
+            f"batch {cfg.batch_size} needs {needed} slots but GP.cap={cfg.cap}; "
+            f"set [GP] cap >= {needed} (or cap = 0 for auto-sizing)"
+        )
+
+
 def make_step_fns(cfg: ExperimentConfig):
     """Build the two jitted per-round step functions (select / absorb+score)."""
     select = get_strategy(cfg.method)
@@ -48,8 +64,9 @@ def make_step_fns(cfg: ExperimentConfig):
         y, valid = simulate_feedback(key, batch, relevant, label_prob, mistake_prob)
         state = gp_mod.gp_update(state, batch, y, valid)
         ap = average_precision(state.mu, relevant, exclude)
+        n = state.mu.shape[0]
         recalls = jnp.stack(
-            [recall_at_k(state.mu, relevant, k, exclude) for k in RECALL_KS]
+            [recall_at_k(state.mu, relevant, min(k, n), exclude) for k in RECALL_KS]
         )
         return state, ap, recalls
 
@@ -67,6 +84,7 @@ def run_experiment(
     """
     if dataset is None:
         dataset = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
+    _check_capacity(cfg)
     if cfg.mesh_devices:
         return run_experiment_sharded(cfg, dataset)
     if cfg.query_batch and cfg.query_batch > 1:
@@ -107,7 +125,6 @@ def run_experiment(
 
     sessions = []
     ap_curves = []
-    n = dataset.n
     try:
         for rep in range(cfg.repetitions):
             for ci, c in enumerate(classes):
@@ -250,7 +267,7 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
     state_axes = gp_mod.GPState(
         x=None, idx=0, y=0, valid=0, count=0, l=0, beta=0, v=0, mu=0, sig2=0,
         hyper=gp_mod.GPHyper(length_scale=None, var=None, noise=None),
-        density=None if state0.density is None else None,
+        density=None,  # shared (unbatched) when present
     )
 
     # The template state is shared (in_axes None); batching enters through the
@@ -374,7 +391,12 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
     from ital_tpu.parallel import make_mesh, make_sharded_round, pad_to_devices, shard_state
     from ital_tpu.parallel.sharded import make_masks
 
-    n_dev = cfg.mesh_devices
+    # Fall back to the devices that exist (configs promise single-chip dev
+    # boxes still run the sharded path, just on a smaller mesh).
+    n_dev = min(cfg.mesh_devices, jax.device_count())
+    if n_dev < cfg.mesh_devices:
+        print(f"# mesh_devices={cfg.mesh_devices} requested, "
+              f"{jax.device_count()} available -> using {n_dev}")
     mesh = make_mesh(n_dev)
     x_pad, n_real = pad_to_devices(dataset.x, n_dev)
     n_pad = x_pad.shape[0]

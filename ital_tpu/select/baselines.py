@@ -252,15 +252,14 @@ def select_mcmi_min(state, batch_size, key, params: StrategyParams, *, block: in
     del key
     n = state.x.shape[0]
     noise = state.hyper.noise
-    sig = jnp.sqrt(state.sig2)
 
-    nblocks = -(-n // block)
-    pad = nblocks * block - n
-    cand_blocks = jnp.pad(jnp.arange(n), (0, pad)).reshape(nblocks, block)
+    from ital_tpu.ops.blocking import blocked_map
 
     def one_block(cands):
+        from ital_tpu.ops.pallas_rbf import rbf_kernel_auto
+
         xc = state.x[cands]
-        k_cross = rbf_kernel(state.x, xc, state.hyper.length_scale, state.hyper.var)
+        k_cross = rbf_kernel_auto(state.x, xc, state.hyper.length_scale, state.hyper.var)
         k_post = k_cross - jnp.dot(
             state.v.T, state.v[:, cands], preferred_element_type=jnp.float32
         ).astype(state.mu.dtype)  # (N, block)
@@ -278,5 +277,5 @@ def select_mcmi_min(state, batch_size, key, params: StrategyParams, *, block: in
 
         return -jnp.maximum(total_entropy(1.0), total_entropy(-1.0))  # min over y
 
-    scores = jax.lax.map(one_block, cand_blocks).reshape(nblocks * block)[:n]
+    scores = blocked_map(one_block, (jnp.arange(n),), block=block)
     return greedy_argmax_batch(lambda b, t: scores, state, batch_size)

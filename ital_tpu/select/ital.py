@@ -139,24 +139,27 @@ def mi_scores_from_moments(
             cov = cov.at[t, :t].set(cross_c)
         cov = cov.at[t, t].set(sig2_c)
         chol = small_cholesky(cov)
+        # Per-config Genz, vmapped over the sign table.  The prefix-tree
+        # variant (ops.mvn.orthant_probs_all_configs_tree) shares conditioning
+        # across configs and does ~3.4x fewer transcendental evals, but
+        # measured 1.5x SLOWER here: its repeat/concat of the y-history is HBM
+        # traffic, and on TPU recomputed VPU flops are cheaper than moved
+        # bytes.  Kept in ops.mvn (tested equal) as the CPU-friendly option.
         p_r = orthant_probs_all_configs(mu, chol, signs, n_points=n_qmc)
         return mutual_information_from_relevance(p_r, pfr)
 
-    score_block = jax.vmap(one_candidate)
-    nc = mu_cand.shape[0]
-    if nc <= block:
-        return score_block(mu_cand, sig2_cand, cross)
-
     # Stream the candidate axis in fixed-size blocks: the QMC chain's
     # (candidates x 2^m x n_qmc) working set stays VMEM/HBM-friendly at any
-    # corpus size (the unblocked form carries ~6 GB at N=100k, m=4).
-    nblocks = -(-nc // block)
-    pad = nblocks * block - nc
-    mu_p = jnp.pad(mu_cand, (0, pad)).reshape(nblocks, block)
-    s2_p = jnp.pad(sig2_cand, (0, pad), constant_values=1.0).reshape(nblocks, block)
-    cr_p = jnp.pad(cross, ((0, pad), (0, 0))).reshape(nblocks, block, t)
-    out = jax.lax.map(lambda args: score_block(*args), (mu_p, s2_p, cr_p))
-    return out.reshape(nblocks * block)[:nc]
+    # corpus size (the unblocked form carries ~6 GB at N=100k, m=4).  Pad
+    # variance with 1.0 so the per-candidate Cholesky stays SPD on pad rows.
+    from ital_tpu.ops.blocking import blocked_map
+
+    return blocked_map(
+        jax.vmap(one_candidate),
+        (mu_cand, sig2_cand, cross),
+        block=block,
+        pad_values=(0.0, 1.0, 0.0),
+    )
 
 
 def score_candidates_mi(
@@ -204,8 +207,16 @@ def select_ital(
     del key  # deterministic given the fixed QMC lattice
 
     if pool_size:
-        thresh = jax.lax.top_k(state.mu, pool_size)[0][-1]
-        outside_pool = state.mu < thresh
+        # Pool = exactly the top-`pool_size` *unlabeled* items by posterior
+        # mean (the reference restricts to top-ranked items of the unlabeled
+        # pool; labeled items must not consume pool slots).
+        from ital_tpu.select.base import labeled_mask
+
+        ranked_mu = jnp.where(labeled_mask(state), -jnp.inf, state.mu)
+        _, pool_idx = jax.lax.top_k(ranked_mu, pool_size)
+        outside_pool = (
+            jnp.ones(state.mu.shape[0], bool).at[pool_idx].set(False)
+        )
     else:
         outside_pool = None
 

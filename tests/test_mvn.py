@@ -88,3 +88,20 @@ def test_small_cholesky_matches_linalg(rng):
         ours = np.asarray(jax.vmap(small_cholesky)(jnp.asarray(spd)))
         ref = np.linalg.cholesky(spd)
         np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+@pytest.mark.parametrize("m", [1, 2, 3, 4, 5])
+def test_tree_orthants_equal_naive(rng, m):
+    """Prefix-tree evaluation == vmapped per-config evaluation (same lattice)."""
+    from ital_tpu.ops.mvn import orthant_probs_all_configs_tree
+
+    a = rng.normal(size=(m, m))
+    cov = (a @ a.T + m * np.eye(m)).astype(np.float32)
+    mu = rng.normal(size=(m,)).astype(np.float32)
+    chol = jnp.asarray(np.linalg.cholesky(cov))
+    table = jnp.asarray(
+        list(itertools.product([-1.0, 1.0], repeat=m)), jnp.float32
+    )
+    naive = orthant_probs_all_configs(jnp.asarray(mu), chol, table, n_points=128)
+    tree = orthant_probs_all_configs_tree(jnp.asarray(mu), chol, n_points=128)
+    np.testing.assert_allclose(np.asarray(tree), np.asarray(naive), atol=2e-6)

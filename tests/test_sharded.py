@@ -144,22 +144,24 @@ def test_ring_strategies_match_single_device(strategy):
     key = jax.random.PRNGKey(3)
     # Reference full greedy (its own mask excludes labeled only) — emulate the
     # sharded mask by scoring then masking manually.
+    pad = sel_forbid  # make_masks: sel_forbid flags exactly the pad rows
+
     if strategy == "emoc":
         from ital_tpu.ops.kernels import blockwise_reduce_abs_kpost
         from ital_tpu.select.baselines import _p_relevant
 
         n = state_s.x.shape[0]
+        # Pad rows weighted out of the corpus reduction, like the ring does.
         colabs = blockwise_reduce_abs_kpost(
             state_s.x, state_s.v, jnp.arange(n),
             state_s.hyper.length_scale, state_s.hyper.var,
+            weights=1.0 - pad.astype(state_s.mu.dtype),
         )
         p_pos = _p_relevant(state_s)
         exp_change = p_pos * jnp.abs(1 - state_s.mu) + (1 - p_pos) * jnp.abs(-1 - state_s.mu)
         scores_ref = exp_change / (state_s.sig2 + state_s.hyper.noise) * colabs
     else:
-        # Reuse the single-device strategy's internal scoring by running its
-        # greedy on a state where pads can't win (they can: x=0 rows cluster)
-        # — instead recompute via the sharded function on a 1-device mesh.
+        # 1-device mesh run of the same ring code (the 8-shard run must agree).
         mesh1 = make_mesh(1)
         from ital_tpu.parallel.sharded import _sharded_mcmi_scores, state_pspecs
         from jax.sharding import PartitionSpec as P
@@ -168,11 +170,11 @@ def test_ring_strategies_match_single_device(strategy):
         pspecs = jax.tree.map(lambda _: P(), params,
                               is_leaf=lambda v: not isinstance(v, type(params)))
         fn1 = jax.shard_map(
-            lambda st, p: _sharded_mcmi_scores(st, p),
-            mesh=mesh1, in_specs=(specs, pspecs), out_specs=P("data"),
+            _sharded_mcmi_scores,
+            mesh=mesh1, in_specs=(specs, pspecs, P("data")), out_specs=P("data"),
             check_vma=False,
         )
-        scores_ref = fn1(jax.device_put(state_s), params)
+        scores_ref = fn1(jax.device_put(state_s), params, pad)
 
     # Sharded scores over the 8-device mesh.
     from ital_tpu.parallel.sharded import (
@@ -185,10 +187,10 @@ def test_ring_strategies_match_single_device(strategy):
                           is_leaf=lambda v: not isinstance(v, type(params)))
     fn = jax.shard_map(
         (_sharded_emoc_scores if strategy == "emoc" else _sharded_mcmi_scores),
-        mesh=mesh, in_specs=(specs, pspecs), out_specs=P("data"),
+        mesh=mesh, in_specs=(specs, pspecs, P("data")), out_specs=P("data"),
         check_vma=False,
     )
-    scores_m = fn(shard_state(state_s, mesh), params)
+    scores_m = fn(shard_state(state_s, mesh), params, pad)
 
     np.testing.assert_allclose(
         np.asarray(scores_m), np.asarray(scores_ref), rtol=2e-3, atol=2e-3
