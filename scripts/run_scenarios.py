@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Run the BASELINE.json scenario configs and record results under results/.
+
+Writes one JSON per scenario (MAP curve, timing, metadata) plus a combined
+summary — the round's evidence that every headline scenario executes end to
+end.  Scenario 5 (8-chip mesh) runs on however many devices exist; pass
+--quick to shrink rounds/queries for a smoke pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCENARIOS = [
+    ("config1_toy_b1", "configs/toy.ini", ()),
+    ("config2_digits_b4_noiseless", "configs/digits.ini", ()),
+    ("config3_parity_uncertainty", "configs/parity_suite.ini",
+     ("EXPERIMENT.method=uncertainty_sampling",)),
+    ("config3_parity_borderline", "configs/parity_suite.ini",
+     ("EXPERIMENT.method=borderline_sampling",)),
+    ("config3_parity_variance", "configs/parity_suite.ini",
+     ("EXPERIMENT.method=variance_sampling",)),
+    ("config3_parity_random", "configs/parity_suite.ini",
+     ("EXPERIMENT.method=random",)),
+    ("config3_parity_ital", "configs/parity_suite.ini",
+     ("EXPERIMENT.method=ital",)),
+    ("config4_mirflickr_b4_noisy", "configs/mirflickr.ini",
+     ("EXPERIMENT.max_classes=2",)),
+    ("config5_scale100k_sharded", "configs/scale100k.ini",
+     ("EXPERIMENT.n_rounds=3", "EXPERIMENT.max_classes=1")),
+]
+
+QUICK_OVERRIDES = ("EXPERIMENT.n_rounds=3", "EXPERIMENT.queries_per_class=1")
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--out", default="results")
+    parser.add_argument("--only", default=None, help="substring filter on scenario name")
+    args = parser.parse_args()
+
+    from ital_tpu.runner import run_experiment
+    from ital_tpu.utils.config import load_config
+
+    os.makedirs(args.out, exist_ok=True)
+    summary = {}
+    for name, cfg_path, overrides in SCENARIOS:
+        if args.only and args.only not in name:
+            continue
+        ov = overrides + (QUICK_OVERRIDES if args.quick else ())
+        cfg = load_config(cfg_path, ov)
+        print(f"== {name} ({cfg.dataset}, {cfg.method}, b={cfg.batch_size}, "
+              f"{cfg.n_rounds} rounds)")
+        t0 = time.time()
+        try:
+            res = run_experiment(cfg)
+        except Exception as exc:  # record the failure, keep going
+            summary[name] = {"error": f"{type(exc).__name__}: {exc}"}
+            print(f"   ERROR {exc}")
+            continue
+        rec = {
+            "dataset": res["dataset"],
+            "method": res["method"],
+            "sessions": len(res["sessions"]),
+            "map": [round(float(v), 4) for v in res["map"]],
+            "select_ms": round(res["select_ms"], 2),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        summary[name] = rec
+        with open(os.path.join(args.out, f"{name}.json"), "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(f"   MAP {rec['map']}  ({rec['wall_s']}s)")
+
+    with open(os.path.join(args.out, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(f"wrote {args.out}/summary.json")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
