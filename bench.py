@@ -29,7 +29,7 @@ BATCH = 4
 N_QMC = 128
 CAP = 64
 CPU_SAMPLE = 96  # candidates per greedy step timed on CPU, then scaled
-LS, VAR, NOISE = 12.0, 1.0, 0.1
+LS, VAR, NOISE = 50.0, 1.0, 0.1
 LABEL_PROB, MISTAKE_PROB = 0.8, 0.05
 
 

@@ -91,12 +91,20 @@ def _synthetic_surrogate(
 ) -> Dataset:
     """Shape-matched synthetic surrogate for an absent stored-feature dataset.
 
-    CNN-feature-like: class-dependent sparse non-negative activations.
+    CNN-feature-like: sparse non-negative activations over a shared low-rank
+    latent basis, with heavy class overlap (mixtures of shared topics) so
+    retrieval is genuinely hard — isotropic prototypes in high dimension are
+    linearly separable from round one and evidence nothing.
     """
     rng = np.random.default_rng(seed)
-    protos = rng.normal(0.0, 1.0, size=(n_classes, dim))
+    rank = max(8, dim // 32)
+    basis = rng.normal(0.0, 1.0, size=(rank, dim))
+    # Each class is a mixture over a few shared latent topics; classes share
+    # topics, so their feature clouds overlap like real CNN features do.
+    class_mix = np.maximum(rng.normal(0.3, 1.0, size=(n_classes, rank)), 0.0)
     labels = rng.integers(0, n_classes, size=n)
-    x = protos[labels] + rng.normal(0.0, 0.8, size=(n, dim))
+    z = class_mix[labels] * rng.gamma(2.0, 0.5, size=(n, rank))
+    x = z @ basis + rng.normal(0.0, 1.2, size=(n, dim))
     x = np.maximum(x, 0.0).astype(np.float32)  # ReLU-like
     classes = np.arange(n_classes)
     ds = Dataset(f"{name}(synthetic)", x, labels,
