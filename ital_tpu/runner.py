@@ -89,6 +89,8 @@ def run_experiment(
         return run_experiment_sharded(cfg, dataset)
     if cfg.query_batch and cfg.query_batch > 1:
         return run_experiment_vmapped(cfg, dataset)
+    if cfg.fused_sessions:
+        return run_experiment_fused(cfg, dataset)
     x = jnp.asarray(dataset.x)
 
     state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap)
@@ -328,6 +330,87 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
         "dataset": dataset.name,
         "method": cfg.method,
         "query_batch": cfg.query_batch,
+    }
+
+
+def make_fused_session_fn(cfg: ExperimentConfig):
+    """One compiled program per SESSION: all n_rounds fused via lax.fori_loop.
+
+    The whole interactive loop — greedy MI selection, simulated user, GP
+    update, ranking, AP — runs as a single device program with one dispatch
+    and one host fetch per session (the serving-latency mode; per-round JSONL
+    observability is the trade-off).  Returns
+    ``session_fn(state_after_query, skey, relevant, exclude) -> (state, aps)``
+    with ``aps`` the (n_rounds,) AP curve.
+    """
+    select = get_strategy(cfg.method)
+    static_kwargs = {k: v for k, v in cfg.method_kwargs.items() if k != "tradeoff"}
+
+    def session_fn(state, skey, relevant, exclude, params):
+        def body(rnd, carry):
+            state, aps = carry
+            rkey = jax.random.fold_in(skey, rnd)
+            k_sel, k_user = jax.random.split(rkey)
+            batch = select(state, cfg.batch_size, k_sel, params, **static_kwargs)
+            y, valid = simulate_feedback(
+                k_user, batch, relevant, params.label_prob, params.mistake_prob
+            )
+            state = gp_mod.gp_update(state, batch, y, valid)
+            ap = average_precision(state.mu, relevant, exclude)
+            return state, aps.at[rnd].set(ap)
+
+        aps0 = jnp.zeros((cfg.n_rounds,), state.mu.dtype)
+        return jax.lax.fori_loop(0, cfg.n_rounds, body, (state, aps0))
+
+    return jax.jit(session_fn)
+
+
+def run_experiment_fused(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Dict[str, Any]:
+    """Experiment driver for the fused-session mode (``fused_sessions = true``).
+
+    Same protocol and PRNG derivation as the serial path — identical AP curves
+    (tested) — at one device dispatch + one host sync per session.
+    """
+    x = jnp.asarray(dataset.x)
+    state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap)
+    if cfg.method in DENSITY_STRATEGIES:
+        state0 = state0.replace(density=gp_mod.corpus_density(state0))
+    params = StrategyParams(
+        label_prob=jnp.asarray(cfg.user.label_prob),
+        mistake_prob=jnp.asarray(cfg.user.mistake_prob),
+        tradeoff=jnp.asarray(float(cfg.method_kwargs.get("tradeoff", 0.5))),
+    )
+    session_fn = make_fused_session_fn(cfg)
+    set_query = jax.jit(gp_mod.gp_set_query)
+
+    logger = JsonlLogger(cfg.log_jsonl)
+    timer = Timer()
+    n = dataset.n
+    sessions, ap_curves = [], []
+    for rep, c, q, skey in _session_plan(cfg, dataset):
+        relevant = jnp.asarray(dataset.relevance[:, c])
+        exclude = jnp.zeros((n,), bool).at[q].set(True)
+        with timer.span("session"):
+            state, aps = session_fn(
+                set_query(state0, jnp.asarray(q)), skey, relevant, exclude, params
+            )
+            aps = np.asarray(aps)  # the one host sync
+        ap_curves.append([float(v) for v in aps])
+        sessions.append({"rep": rep, "cls": c, "query": q})
+        logger.log(rep=rep, cls=c, query=q, ap_curve=ap_curves[-1],
+                   session_ms=timer.ms("session"))
+    logger.close()
+
+    ap = np.asarray(ap_curves)
+    return {
+        "ap": ap,
+        "map": ap.mean(axis=0) if ap.size else np.zeros(cfg.n_rounds),
+        "select_ms": timer.ms("session") / max(cfg.n_rounds, 1),
+        "update_ms": 0.0,
+        "sessions": sessions,
+        "dataset": dataset.name,
+        "method": cfg.method,
+        "fused": True,
     }
 
 

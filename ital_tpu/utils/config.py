@@ -56,6 +56,10 @@ class ExperimentConfig:
     # serial path (same fold_in key derivation).  Checkpoint/resume is only
     # supported in serial mode.
     query_batch: int = 0
+    # Fuse all n_rounds of a session into ONE device program (lax.fori_loop):
+    # one dispatch + one host sync per session — the serving-latency mode.
+    # Identical curves to serial; per-round JSONL granularity is traded away.
+    fused_sessions: bool = False
 
     @property
     def cap(self) -> int:

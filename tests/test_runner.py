@@ -161,3 +161,15 @@ def test_golden_digits_batch_curve():
     )
     res = run_experiment(cfg, dataset=ds_small)
     np.testing.assert_allclose(res["map"], golden["map"], atol=1e-6)
+
+
+def test_fused_sessions_match_serial():
+    """fused_sessions mode (whole session = one device program): identical curves."""
+    import dataclasses
+
+    base = _toy_cfg(batch_size=2, n_rounds=3,
+                    user=UserConfig(label_prob=0.8, mistake_prob=0.1))
+    serial = run_experiment(base)
+    fused = run_experiment(dataclasses.replace(base, fused_sessions=True))
+    assert fused["fused"] is True
+    np.testing.assert_allclose(fused["ap"], serial["ap"], atol=1e-5)
