@@ -278,6 +278,16 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
         jax.vmap(gp_mod.gp_set_query, in_axes=(None, 0), out_axes=state_axes)
     )
 
+    if cfg.fused_sessions:
+        # Cohort-of-fused-sessions: K sessions x ALL rounds in one dispatch.
+        session_fn = make_fused_session_fn(cfg)
+        fused_v = jax.jit(
+            jax.vmap(
+                session_fn, in_axes=(state_axes, 0, 0, 0, None),
+                out_axes=(state_axes, 0),
+            )
+        )
+
     def one_round(state, key, relevant, exclude):
         k_sel, k_user = jax.random.split(key)
         batch = select(state, cfg.batch_size, k_sel, params, **method_kwargs)
@@ -309,6 +319,16 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
         skeys = jnp.stack([sk for *_, sk in padded])
 
         state = set_query_v(state0, qs)
+        if cfg.fused_sessions:
+            with timer.span("round"):
+                _, aps = fused_v(state, skeys, relevant, exclude, params)
+                aps = np.asarray(aps)  # (qb, n_rounds); the one host sync
+            ap_rows[chunk_start : chunk_start + k] = aps[:k]
+            for j, (rep, c, q, _) in enumerate(chunk):
+                logger.log(rep=rep, cls=c, query=q,
+                           ap_curve=[float(v) for v in aps[j]],
+                           cohort_ms=timer.ms("round"), query_batch=qb)
+            continue
         for rnd in range(cfg.n_rounds):
             rkeys = jax.vmap(lambda sk: jax.random.fold_in(sk, rnd))(skeys)
             with timer.span("round"):

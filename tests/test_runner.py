@@ -173,3 +173,16 @@ def test_fused_sessions_match_serial():
     fused = run_experiment(dataclasses.replace(base, fused_sessions=True))
     assert fused["fused"] is True
     np.testing.assert_allclose(fused["ap"], serial["ap"], atol=1e-5)
+
+
+def test_vmapped_fused_cohort_matches_serial():
+    """query_batch + fused_sessions: K sessions x all rounds in one dispatch."""
+    import dataclasses
+
+    base = _toy_cfg(batch_size=2, n_rounds=3,
+                    user=UserConfig(label_prob=0.8, mistake_prob=0.1))
+    serial = run_experiment(base)
+    combo = run_experiment(
+        dataclasses.replace(base, query_batch=2, fused_sessions=True)
+    )
+    np.testing.assert_allclose(combo["ap"], serial["ap"], atol=1e-5)
