@@ -86,10 +86,17 @@ def run_experiment(
         dataset = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
     _check_capacity(cfg)
     if cfg.mesh_devices:
+        if cfg.fused_sessions:
+            print("# fused_sessions is not implemented for the sharded path; "
+                  "running per-round sharded steps")
         return run_experiment_sharded(cfg, dataset)
     if cfg.query_batch and cfg.query_batch > 1:
         return run_experiment_vmapped(cfg, dataset)
     if cfg.fused_sessions:
+        if cfg.checkpoint_dir or cfg.resume or cfg.profile_dir:
+            print("# fused_sessions runs each session as one device program; "
+                  "checkpoint_dir/resume/profile_dir are serial-mode features "
+                  "and are ignored here")
         return run_experiment_fused(cfg, dataset)
     x = jnp.asarray(dataset.x)
 

@@ -18,11 +18,18 @@ import sys
 
 
 def load_curve(path: str):
+    """Aggregate AP per round from either JSONL schema: per-round records
+    (``round``/``ap``, serial and per-round modes) or per-session records
+    (``ap_curve``, fused modes)."""
     per_round = collections.defaultdict(list)
     with open(path) as fh:
         for line in fh:
             rec = json.loads(line)
-            per_round[rec["round"]].append(rec["ap"])
+            if "ap_curve" in rec:
+                for rnd, ap in enumerate(rec["ap_curve"]):
+                    per_round[rnd].append(ap)
+            elif "round" in rec and "ap" in rec:
+                per_round[rec["round"]].append(rec["ap"])
     rounds = sorted(per_round)
     return [r + 1 for r in rounds], [
         sum(per_round[r]) / len(per_round[r]) for r in rounds

@@ -8,6 +8,7 @@ out="${1:-out/parity}"
 mkdir -p "$out"
 for m in uncertainty_sampling borderline_sampling variance_sampling random ital; do
   echo "== $m"
+  rm -f "$out/$m.jsonl"  # JsonlLogger appends; stale rounds would skew the plot
   python run_experiment.py configs/parity_suite.ini \
       EXPERIMENT.method="$m" EXPERIMENT.log_jsonl="$out/$m.jsonl"
 done

@@ -50,7 +50,13 @@ def main() -> int:
     from ital_tpu.utils.config import load_config
 
     os.makedirs(args.out, exist_ok=True)
+    # Merge into any existing summary so partial (--only) runs don't clobber
+    # previously recorded scenarios.
+    summary_path = os.path.join(args.out, "summary.json")
     summary = {}
+    if os.path.exists(summary_path):
+        with open(summary_path) as fh:
+            summary = json.load(fh)
     for name, cfg_path, overrides in SCENARIOS:
         if args.only and args.only not in name:
             continue
@@ -72,15 +78,22 @@ def main() -> int:
             "map": [round(float(v), 4) for v in res["map"]],
             "select_ms": round(res["select_ms"], 2),
             "wall_s": round(time.time() - t0, 1),
+            # Full provenance so smoke runs are distinguishable from evidence.
+            "n_rounds": cfg.n_rounds,
+            "batch_size": cfg.batch_size,
+            "queries_per_class": cfg.queries_per_class,
+            "seed": cfg.seed,
+            "quick": bool(args.quick),
+            "overrides": list(ov),
         }
         summary[name] = rec
         with open(os.path.join(args.out, f"{name}.json"), "w") as fh:
             json.dump(rec, fh, indent=1)
         print(f"   MAP {rec['map']}  ({rec['wall_s']}s)")
 
-    with open(os.path.join(args.out, "summary.json"), "w") as fh:
+    with open(summary_path, "w") as fh:
         json.dump(summary, fh, indent=1)
-    print(f"wrote {args.out}/summary.json")
+    print(f"wrote {summary_path}")
     return 0
 
 

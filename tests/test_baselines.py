@@ -39,7 +39,7 @@ def test_strategy_returns_valid_unlabeled_batch(fitted_state, name):
     assert not (set(batch.tolist()) & labeled), "selected an already-labeled item"
 
 
-@pytest.mark.parametrize("name", sorted(STRATEGIES - {"random"} if isinstance(STRATEGIES, set) else [s for s in STRATEGIES if s != "random"]))
+@pytest.mark.parametrize("name", sorted(s for s in STRATEGIES if s != "random"))
 def test_strategy_deterministic_given_key(fitted_state, name):
     params = StrategyParams(label_prob=jnp.asarray(0.9), mistake_prob=jnp.asarray(0.05))
     b1 = np.asarray(STRATEGIES[name](fitted_state, 2, jax.random.PRNGKey(0), params))
