@@ -129,3 +129,21 @@ def test_fit_functions_jit_once(rng):
         )
     assert update._cache_size() == 1
     assert int(state.count) == 10
+
+
+def test_update_fills_capacity_exactly(rng):
+    """count + b == cap is legal and matches a refit at the boundary."""
+    x, state, _ = _setup(rng, cap=8)
+    state = gp_mod.gp_set_query(state, jnp.asarray(0))  # 1 slot used
+    state = gp_mod.gp_update(  # 1 + 3 = 4
+        state, jnp.asarray([1, 2, 3], jnp.int32),
+        jnp.asarray([1.0, -1.0, 1.0], jnp.float32), jnp.ones(3, bool),
+    )
+    inc = gp_mod.gp_update(  # 4 + 4 = 8 == cap
+        state, jnp.asarray([4, 5, 6, 7], jnp.int32),
+        jnp.asarray([1.0, 1.0, -1.0, -1.0], jnp.float32), jnp.ones(4, bool),
+    )
+    assert int(inc.count) == 8
+    ref = gp_mod.gp_fit(inc)
+    np.testing.assert_allclose(np.asarray(inc.mu), np.asarray(ref.mu), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(inc.sig2), np.asarray(ref.sig2), atol=1e-3)

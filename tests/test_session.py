@@ -69,3 +69,49 @@ def test_capacity_overflow_raises():
 
     with pytest.raises(ValueError, match="capacity exceeded"):
         sess.update({1: 1, 2: -1})
+
+
+def test_posterior_variance_monotone_in_labels():
+    """Property: marginal variance never increases as labels accumulate."""
+    import jax.numpy as jnp
+
+    from ital_tpu.models import gp as gp_mod
+
+    ds, sess = _session(strategy="random")
+    sess.update_query(3)
+    prev = np.asarray(sess.state.sig2)
+    for r in range(4):
+        batch = sess.fetch_unlabelled(2)
+        c = int(ds.labels[3])
+        sess.update({int(i): (1 if ds.relevance[i, c] else -1) for i in batch})
+        cur = np.asarray(sess.state.sig2)
+        assert (cur <= prev + 1e-4).all(), f"variance increased at round {r}"
+        prev = cur
+
+
+def test_sharded_state_checkpoint_roundtrip(tmp_path):
+    """Checkpoints gather sharded arrays and reload onto a fresh mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from ital_tpu.models import gp as gp_mod
+    from ital_tpu.parallel import make_mesh, pad_to_devices, shard_state
+    from ital_tpu.utils.checkpoint import load_session, save_session
+
+    ds, _ = _session()
+    x_pad, _ = pad_to_devices(ds.x, 8)
+    mesh = make_mesh(8)
+    state = gp_mod.gp_init(jnp.asarray(x_pad), 1.5, 1.0, 0.1, cap=16)
+    state = shard_state(gp_mod.gp_set_query(state, jnp.asarray(2)), mesh)
+
+    path = str(tmp_path / "sharded.npz")
+    save_session(path, state)
+
+    template = gp_mod.gp_init(jnp.asarray(x_pad), 1.5, 1.0, 0.1, cap=16)
+    restored, _ = load_session(path, template)
+    np.testing.assert_allclose(
+        np.asarray(restored.mu), np.asarray(state.mu), atol=1e-6
+    )
+    # And it can be re-sharded and keep running.
+    resharded = shard_state(restored, mesh)
+    assert int(resharded.count) == 1
