@@ -86,9 +86,9 @@ def run_experiment(
         dataset = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
     _check_capacity(cfg)
     if cfg.mesh_devices:
-        if cfg.fused_sessions:
-            print("# fused_sessions is not implemented for the sharded path; "
-                  "running per-round sharded steps")
+        if cfg.fused_sessions or cfg.query_batch > 1:
+            print("# fused_sessions/query_batch are not implemented for the "
+                  "sharded path; running per-round sharded steps")
         return run_experiment_sharded(cfg, dataset)
     if cfg.query_batch and cfg.query_batch > 1:
         return run_experiment_vmapped(cfg, dataset)
