@@ -186,3 +186,15 @@ def test_vmapped_fused_cohort_matches_serial():
         dataclasses.replace(base, query_batch=2, fused_sessions=True)
     )
     np.testing.assert_allclose(combo["ap"], serial["ap"], atol=1e-5)
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """profile_dir produces a jax.profiler trace (SURVEY section 5 tracing row)."""
+    import os
+
+    cfg = _toy_cfg(batch_size=1, n_rounds=1, profile_dir=str(tmp_path / "prof"))
+    run_experiment(cfg)
+    found = []
+    for root, _, files in os.walk(tmp_path / "prof"):
+        found += [f for f in files if f.endswith((".xplane.pb", ".json.gz", ".trace.json.gz"))]
+    assert found, "no profiler artifacts written"
