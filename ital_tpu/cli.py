@@ -21,6 +21,13 @@ def main(argv=None) -> int:
     parser.add_argument("--list-datasets", action="store_true")
     args = parser.parse_args(argv)
 
+    # With no config file given, argparse binds the first SECTION.key=value
+    # override to the optional ``config`` positional; reinterpret it so
+    # ``ital-tpu EXPERIMENT.method=ital`` means defaults + override.
+    if args.config and "=" in args.config and "." in args.config.split("=", 1)[0]:
+        args.overrides = [args.config, *args.overrides]
+        args.config = None
+
     if args.list_strategies:
         from ital_tpu.select import STRATEGIES
 

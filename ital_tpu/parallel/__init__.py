@@ -2,6 +2,7 @@
 
 from ital_tpu.parallel.mesh import make_mesh  # noqa: F401
 from ital_tpu.parallel.sharded import (  # noqa: F401
+    make_sharded_density,
     make_sharded_round,
     pad_to_devices,
     shard_state,

@@ -38,7 +38,7 @@ from ital_tpu.models.gp import GPState
 from ital_tpu.parallel.mesh import CORPUS_AXIS
 from ital_tpu.select.base import StrategyParams
 from ital_tpu.select.ital import mi_scores_from_moments
-from ital_tpu.utils.metrics import average_precision
+from ital_tpu.utils.metrics import average_precision, recall_at_k
 
 
 def pad_to_devices(x, n_dev: int, *, axis: int = 0):
@@ -275,11 +275,11 @@ def _sharded_mcmi_scores(
     return -jnp.maximum(h_pos, h_neg)
 
 
-def _local_score_fn(strategy: str) -> Callable:
+def _local_score_fn(strategy: str, n_dev: int) -> Callable:
     """Batch-independent local scores for the cheap baselines."""
-    from ital_tpu.select.baselines import _binary_entropy, _p_relevant
+    from ital_tpu.select.baselines import _binary_entropy, _density, _p_relevant
 
-    def fn(state, key):
+    def fn(state, key, params):
         if strategy == "topscoring":
             return state.mu
         if strategy == "variance_sampling":
@@ -290,9 +290,23 @@ def _local_score_fn(strategy: str) -> Callable:
             return -jnp.abs(state.mu)
         if strategy == "entropy_sampling":
             return _binary_entropy(_p_relevant(state))
+        if strategy == "sud":
+            return _binary_entropy(_p_relevant(state)) * _density(state)
+        if strategy == "adapt_al":
+            eps = 1e-12
+            ent = _binary_entropy(_p_relevant(state))
+            beta = params.tradeoff
+            return jnp.power(ent + eps, beta) * jnp.power(
+                _density(state) + eps, 1.0 - beta
+            )
         if strategy == "random":
-            k = jax.random.fold_in(key, jax.lax.axis_index(CORPUS_AXIS))
-            return jax.random.uniform(k, (state.x.shape[0],), state.mu.dtype)
+            # Each shard takes its slice of the SAME global (N,) draw the
+            # single-device select_random makes — threefry is counter-based
+            # per element, so both paths pick identical batches under one
+            # seed (cross-path reproducibility, advisor round-1 finding).
+            shard_n = state.x.shape[0]
+            full = jax.random.uniform(key, (shard_n * n_dev,), state.mu.dtype)
+            return jax.lax.dynamic_slice(full, (_offset(shard_n),), (shard_n,))
         raise NotImplementedError(
             f"strategy {strategy!r} has no sharded implementation yet"
         )
@@ -301,8 +315,201 @@ def _local_score_fn(strategy: str) -> Callable:
 
 
 # ---------------------------------------------------------------------------
+# Batch-dependent strategies (diversity / RBMAL / regression) on the shard
+# ---------------------------------------------------------------------------
+
+
+def _sharded_max_sim_to_labeled(state: GPState) -> jax.Array:
+    """(n_loc,) max RBF similarity of each local row to any labeled point.
+
+    Labeled features are assembled once per call with a collective gather
+    (O(cap x D) over ICI); the similarity matmul itself is shard-local —
+    mirrors the single-device ``baselines._max_sim_to_labeled`` exactly.
+    """
+    from ital_tpu.ops.kernels import rbf_kernel
+
+    xl = gather_rows(state.x, state.idx)  # (cap, D) replicated
+    sims = rbf_kernel(state.x, xl, state.hyper.length_scale, 1.0)  # (n_loc, cap)
+    sims = jnp.where(state.active[None, :], sims, -jnp.inf)
+    return jnp.max(sims, axis=1)
+
+
+def _sharded_batch_max_sim(state: GPState, batch: jax.Array, t: int) -> jax.Array:
+    """(n_loc,) max RBF similarity of each local row to the partial batch."""
+    from ital_tpu.ops.kernels import rbf_kernel
+
+    xb = gather_rows(state.x, batch[:t])  # (t, D) replicated
+    sims = rbf_kernel(state.x, xb, state.hyper.length_scale, 1.0)
+    return jnp.max(sims, axis=1)
+
+
+def _sharded_diversity_scores(
+    state: GPState, batch: jax.Array, t: int, base: jax.Array, weight: jax.Array
+) -> jax.Array:
+    """Sharded mirror of ``baselines._diversity_greedy``'s per-step score."""
+    s = base - weight * jnp.maximum(_sharded_max_sim_to_labeled(state), 0.0)
+    if t > 0:
+        s = s - weight * _sharded_batch_max_sim(state, batch, t)
+    return s
+
+
+def _sharded_rbmal_scores(
+    state: GPState, batch: jax.Array, t: int, n_corpus: jax.Array
+) -> jax.Array:
+    """Sharded RBMAL step score (mirror of ``baselines.select_rbmal``).
+
+    ``n_corpus`` is the number of REAL corpus rows (rows flagged in the
+    caller's forbid mask — e.g. shard padding — are treated as outside the
+    corpus for the |U| / (|U| + |L|) trade-off, matching the single-device
+    run on the unpadded corpus).
+    """
+    n_lab = jnp.sum(state.active.astype(jnp.int32))  # buffers replicated
+    unc = 1.0 - jnp.abs(jnp.tanh(state.mu))
+    sim = jnp.maximum(_sharded_max_sim_to_labeled(state), 0.0)
+    if t > 0:
+        sim = jnp.maximum(sim, _sharded_batch_max_sim(state, batch, t))
+    alpha = (n_corpus - n_lab - t) / n_corpus.astype(state.mu.dtype)
+    return alpha * (1.0 - sim) + (1.0 - alpha) * unc
+
+
+def _sharded_regression_scores(
+    state: GPState, batch: jax.Array, t: int, params: StrategyParams
+) -> jax.Array:
+    """Sharded greedy log-det MI for regression (mirror of
+    ``select.regression.select_ital_regression``): conditional variance of each
+    local candidate given ``batch[:t]``, via the same collective batch-block
+    gathers as the sharded ITAL scan."""
+    from ital_tpu.ops.kernels import rbf_kernel
+
+    h = state.hyper
+    noise = h.noise
+    if t == 0:
+        cond_var = state.sig2
+    else:
+        bsel = batch[:t]
+        xb = gather_rows(state.x, bsel)  # (t, D) replicated
+        vb = gather_cols(state.v, bsel)  # (cap, t) replicated
+        k_bb = rbf_kernel(xb, xb, h.length_scale, h.var)
+        cov_bb = (
+            k_bb
+            - vb.T @ vb
+            + (noise + params.jitter) * jnp.eye(t, dtype=state.mu.dtype)
+        )
+        k_cb = rbf_kernel(state.x, xb, h.length_scale, h.var)  # (n_loc, t)
+        cross = k_cb - jnp.dot(
+            state.v.T, vb, preferred_element_type=jnp.float32
+        ).astype(state.mu.dtype)
+        chol = jnp.linalg.cholesky(cov_bb)
+        w = jax.lax.linalg.triangular_solve(
+            chol, cross.T, left_side=True, lower=True
+        )  # (t, n_loc)
+        cond_var = jnp.maximum(state.sig2 - jnp.sum(w * w, axis=0), 1e-10)
+    return 0.5 * jnp.log1p(cond_var / noise)
+
+
+def _sharded_pool_mask(
+    state: GPState, forbid_local: jax.Array, pool_size: int
+) -> jax.Array:
+    """Local mask — True OUTSIDE the global top-``pool_size`` candidates by mu.
+
+    The reference restricts ITAL's candidates to the top-ranked unlabeled items
+    (SURVEY.md C3); the single-device path implements it as a top-k mask.  Here
+    every shard contributes its local top-k; the global pool is the stable sort
+    of the gathered (value, index) pairs, which reproduces ``jax.lax.top_k``'s
+    lowest-index tie-breaking on the unsharded array (shards gather in axis
+    order and local lists are index-ascending among ties).  Rows in
+    ``forbid_local`` (labeled slots, shard padding) never consume pool slots.
+    """
+    shard_n = state.mu.shape[0]
+    k_local = min(pool_size, shard_n)
+    masked = jnp.where(forbid_local, -jnp.inf, state.mu)
+    vals_l, idx_l = jax.lax.top_k(masked, k_local)
+    gidx_l = idx_l.astype(jnp.int32) + _offset(shard_n)
+    vals = jax.lax.all_gather(vals_l, CORPUS_AXIS).reshape(-1)
+    gidx = jax.lax.all_gather(gidx_l, CORPUS_AXIS).reshape(-1)
+    order = jnp.argsort(-vals, stable=True)[:pool_size]
+    pool_gidx = gidx[order]
+    rel = pool_gidx - _offset(shard_n)
+    ok = (rel >= 0) & (rel < shard_n)
+    inside = (
+        jnp.zeros((shard_n,), jnp.int32)
+        .at[jnp.clip(rel, 0, shard_n - 1)]
+        .add(ok.astype(jnp.int32))
+        > 0
+    )
+    return ~inside
+
+
+def _sharded_density_local(state: GPState, pad_local: jax.Array) -> jax.Array:
+    """(n_loc,) mean RBF similarity to every REAL corpus row — ring pass.
+
+    Sharded equivalent of :func:`ital_tpu.models.gp.corpus_density`: the corpus
+    blocks travel the ICI ring (like EMOC/MCMI) so no chip ever sees more than
+    its shard; pad rows are masked out of both the sum and the denominator, so
+    the result equals the single-device density on the unpadded corpus.
+    """
+    from ital_tpu.ops.kernels import rbf_kernel
+    from ital_tpu.parallel.ring import ring_reduce_over_corpus
+
+    h = state.hyper
+    valid_local = 1.0 - pad_local.astype(state.mu.dtype)
+
+    def acc_fn(acc, blk):
+        xb, valid_b = blk
+        k = rbf_kernel(xb, state.x, h.length_scale, 1.0)  # (blk_n, n_loc)
+        return (
+            acc[0] + jnp.sum(k * valid_b[:, None], axis=0),
+            acc[1] + jnp.sum(valid_b),
+        )
+
+    s, cnt = ring_reduce_over_corpus(
+        (state.x, valid_local),
+        acc_fn,
+        (jnp.zeros(state.x.shape[0], state.mu.dtype), jnp.zeros((), state.mu.dtype)),
+    )
+    return s / jnp.maximum(cnt, 1.0)
+
+
+def make_sharded_density(mesh):
+    """Jitted ``fn(state_sharded, pad_mask) -> (N,) sharded density vector``.
+
+    ``pad_mask`` is the replicated (N,) bool flagging shard-padding rows.
+    Compute once per dataset and attach with ``state.replace(density=...)``
+    (the density-weighted baselines read it exactly like the single-device
+    path does).
+    """
+
+    def _local(state, pad_full):
+        shard_n = state.x.shape[0]
+        pad_local = jax.lax.dynamic_slice(pad_full, (_offset(shard_n),), (shard_n,))
+        return _sharded_density_local(state, pad_local)
+
+    def wrapped(state, pad_full):
+        specs = state_pspecs(state)
+        fn = jax.shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(specs, P()),
+            out_specs=P(CORPUS_AXIS),
+            check_vma=False,
+        )
+        return fn(state, pad_full)
+
+    return jax.jit(wrapped)
+
+
+# ---------------------------------------------------------------------------
 # The sharded round
 # ---------------------------------------------------------------------------
+
+
+# Strategies whose per-step score is ``base - tradeoff * max-sim`` diversity
+# greedy (mirrors ``baselines._diversity_greedy``).  Values build the base.
+_DIVERSITY_BASES = {
+    "borderline_diversity_sampling": lambda state, dens: -jnp.abs(state.mu),
+    "usdm": lambda state, dens: -jnp.abs(state.mu) / jnp.sqrt(state.sig2),
+    "tcal": lambda state, dens: -jnp.abs(state.mu) * dens,
+}
 
 
 def make_sharded_round(
@@ -311,13 +518,19 @@ def make_sharded_round(
     strategy: str = "ital",
     batch_size: int = 4,
     n_qmc: int = 128,
+    pool_size: int = 0,
+    recall_ks: tuple = (),
 ):
     """Build the jitted sharded feedback-round step.
 
     Returns ``round_fn(state, key, relevant, sel_forbid, ap_exclude, params)
-    -> (state, batch, ap)`` where ``state`` is sharded (see :func:`shard_state`),
-    ``relevant``/masks are replicated (N,) bools, and one call runs
-    select -> simulate user -> GP update -> rank -> AP entirely on the mesh.
+    -> (state, batch, ap, recalls)`` where ``state`` is sharded (see
+    :func:`shard_state`), ``relevant``/masks are replicated (N,) bools, and one
+    call runs select -> simulate user -> GP update -> rank -> AP/recall@k
+    entirely on the mesh.  Every registered retrieval strategy is supported
+    (diversity/density baselines included); ``pool_size`` restricts ITAL's
+    candidates to the global top-ranked pool like the single-device path.
+    ``recalls`` is ``(len(recall_ks),)`` (empty when no ks are requested).
     """
 
     def _round(state, key, relevant, sel_forbid, ap_exclude, params):
@@ -326,17 +539,40 @@ def make_sharded_round(
         # --- greedy selection with collective argmax ---
         pad_local = sel_forbid_local(state, sel_forbid)
         forbid = local_slot_mask(state, extra_forbid=pad_local)
+        outside_pool = (
+            _sharded_pool_mask(state, forbid, pool_size)
+            if pool_size and strategy == "ital"
+            else None
+        )
+        if strategy == "rbmal":
+            shard_n = state.x.shape[0]
+            n_corpus = shard_n * jax.lax.axis_size(CORPUS_AXIS) - jax.lax.psum(
+                jnp.sum(pad_local.astype(jnp.int32)), CORPUS_AXIS
+            )
         batch = jnp.zeros((batch_size,), jnp.int32)
         neg = jnp.asarray(-jnp.inf, state.mu.dtype)
+        from ital_tpu.select.baselines import _density
+
         for t in range(batch_size):
             if strategy == "ital":
                 scores = _sharded_ital_scores(state, batch, t, params, n_qmc)
+                if outside_pool is not None:
+                    scores = jnp.where(outside_pool, neg, scores)
+            elif strategy == "ital_regression":
+                scores = _sharded_regression_scores(state, batch, t, params)
             elif strategy == "emoc":
                 scores = _sharded_emoc_scores(state, params, pad_local) if t == 0 else scores
             elif strategy == "mcmi_min":
                 scores = _sharded_mcmi_scores(state, params, pad_local) if t == 0 else scores
+            elif strategy in _DIVERSITY_BASES:
+                base = _DIVERSITY_BASES[strategy](state, _density(state))
+                scores = _sharded_diversity_scores(
+                    state, batch, t, base, params.tradeoff
+                )
+            elif strategy == "rbmal":
+                scores = _sharded_rbmal_scores(state, batch, t, n_corpus)
             else:
-                scores = _local_score_fn(strategy)(state, k_sel)
+                scores = _local_score_fn(strategy, mesh.size)(state, k_sel, params)
             scores = jnp.where(forbid, neg, scores)
             nxt = global_argmax(scores)
             batch = batch.at[t].set(nxt)
@@ -358,10 +594,17 @@ def make_sharded_round(
             state, batch, y, valid, gather=lambda gidx: gather_rows(state.x, gidx)
         )
 
-        # --- rank + AP (scores all_gather'd; metric replicated) ---
+        # --- rank + AP/recall@k (scores all_gather'd; metrics replicated) ---
         mu_full = jax.lax.all_gather(state.mu, CORPUS_AXIS, tiled=True)
         ap = average_precision(mu_full, relevant, ap_exclude)
-        return state, batch, ap
+        n_full = mu_full.shape[0]
+        recalls = jnp.stack(
+            [
+                recall_at_k(mu_full, relevant, min(k, n_full), ap_exclude)
+                for k in recall_ks
+            ]
+        ) if recall_ks else jnp.zeros((0,), state.mu.dtype)
+        return state, batch, ap, recalls
 
     def sel_forbid_local(state, sel_forbid_full):
         """Slice the replicated (N,) forbid mask down to this shard's rows."""
@@ -378,7 +621,7 @@ def make_sharded_round(
             _round,
             mesh=mesh,
             in_specs=(specs, P(), P(), P(), P(), pspecs),
-            out_specs=(specs, P(), P()),
+            out_specs=(specs, P(), P(), P()),
             check_vma=False,
         )
         return fn(state, key, relevant, sel_forbid, ap_exclude, params)

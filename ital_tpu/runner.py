@@ -34,19 +34,21 @@ DENSITY_STRATEGIES = {"sud", "tcal", "adapt_al"}
 RECALL_KS = (10, 50)
 
 
-def _check_capacity(cfg: ExperimentConfig) -> None:
+def _check_capacity(cfg: ExperimentConfig, *, query_slots: int = 1) -> None:
     """Fail fast when the labeled buffers cannot hold the whole experiment.
 
     The jitted update cannot check (``count`` is traced) and
     ``dynamic_update_slice`` would clamp the offset and silently corrupt the
-    last slots, so the host enforces it up front.
+    last slots, so every host-side entry point enforces it up front
+    (``query_slots=0`` for the regression task, which has no query image).
     """
-    needed = 1 + cfg.n_rounds * cfg.batch_size
+    needed = query_slots + cfg.n_rounds * cfg.batch_size
     if needed > cfg.cap:
         raise ValueError(
-            f"labeled-slot capacity too small: query + {cfg.n_rounds} rounds x "
-            f"batch {cfg.batch_size} needs {needed} slots but GP.cap={cfg.cap}; "
-            f"set [GP] cap >= {needed} (or cap = 0 for auto-sizing)"
+            f"labeled-slot capacity too small: {query_slots} query slot(s) + "
+            f"{cfg.n_rounds} rounds x batch {cfg.batch_size} needs {needed} "
+            f"slots but GP.cap={cfg.cap}; set [GP] cap >= {needed} "
+            f"(or cap = 0 for auto-sizing)"
         )
 
 
@@ -450,6 +452,7 @@ def run_regression_experiment(cfg: ExperimentConfig) -> Dict[str, Any]:
     ``label_prob`` plus N(0, noise) observation error, and the metric is the
     corpus-wide RMSE of the posterior mean — reported per round.
     """
+    _check_capacity(cfg, query_slots=0)
     ds = ds_mod.regression_toy(**cfg.dataset_kwargs)
     x = jnp.asarray(ds.x)
     y_true = jnp.asarray(ds.y)
@@ -494,12 +497,17 @@ def run_regression_experiment(cfg: ExperimentConfig) -> Dict[str, Any]:
 def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Dict[str, Any]:
     """Corpus-sharded experiment over a device mesh (BASELINE.json config 5).
 
-    Same protocol as :func:`run_experiment`; the per-round step is the
-    ``shard_map`` round of :mod:`ital_tpu.parallel.sharded` — feature rows, the
+    Same protocol and feature surface as :func:`run_experiment` — recall@k
+    logging, density-weighted strategies (ring-computed density), ``pool_size``,
+    per-round checkpoint/resume — with the per-round step being the
+    ``shard_map`` round of :mod:`ital_tpu.parallel.sharded`: feature rows, the
     whitened kernel, and the MI scan sharded over ``cfg.mesh_devices`` chips.
     """
+    import os
+
     from ital_tpu.parallel import make_mesh, make_sharded_round, pad_to_devices, shard_state
-    from ital_tpu.parallel.sharded import make_masks
+    from ital_tpu.parallel.sharded import make_masks, make_sharded_density
+    from ital_tpu.utils import checkpoint as ckpt
 
     # Fall back to the devices that exist (configs promise single-chip dev
     # boxes still run the sharded path, just on a smaller mesh).
@@ -510,10 +518,16 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
     mesh = make_mesh(n_dev)
     x_pad, n_real = pad_to_devices(dataset.x, n_dev)
     n_pad = x_pad.shape[0]
+    pad_mask = jnp.arange(n_pad) >= n_real
 
     state0 = gp_mod.gp_init(
         jnp.asarray(x_pad), cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap
     )
+    if cfg.method in DENSITY_STRATEGIES:
+        # Ring-pass density over the mesh (== single-device corpus_density on
+        # the real rows); computed once per dataset, rides in the state.
+        dens = make_sharded_density(mesh)(shard_state(state0, mesh), pad_mask)
+        state0 = state0.replace(density=dens)
     params = StrategyParams(
         label_prob=jnp.asarray(cfg.user.label_prob),
         mistake_prob=jnp.asarray(cfg.user.mistake_prob),
@@ -524,6 +538,8 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
         strategy=cfg.method,
         batch_size=cfg.batch_size,
         n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
+        pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
+        recall_ks=RECALL_KS,
     )
 
     classes = dataset.classes
@@ -544,17 +560,26 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
                     np.pad(dataset.relevance[:, c], (0, n_pad - n_real))
                 )
                 sel_forbid, ap_exclude = make_masks(n_pad, n_real, q)
-                state = shard_state(
-                    gp_mod.gp_set_query(state0, jnp.asarray(q)), mesh
-                )
+                state = gp_mod.gp_set_query(state0, jnp.asarray(q))
                 skey = jax.random.fold_in(
                     jax.random.fold_in(jax.random.fold_in(base_key, rep), c), q
                 )
-                curve = []
-                for rnd in range(cfg.n_rounds):
+                curve: list = []
+                start_round = 0
+                ckpt_path = None
+                if cfg.checkpoint_dir:
+                    ckpt_path = os.path.join(
+                        cfg.checkpoint_dir, f"r{rep}_c{c}_q{q}.npz"
+                    )
+                    if cfg.resume and os.path.exists(ckpt_path):
+                        state, extras = ckpt.load_session(ckpt_path, state)
+                        curve = [float(v) for v in extras["curve"]]
+                        start_round = int(extras["next_round"])
+                state = shard_state(state, mesh)
+                for rnd in range(start_round, cfg.n_rounds):
                     rkey = jax.random.fold_in(skey, rnd)
                     with timer.span("round"):
-                        state, batch, ap = round_fn(
+                        state, batch, ap, recalls = round_fn(
                             state, rkey, relevant, sel_forbid, ap_exclude, params
                         )
                         ap.block_until_ready()
@@ -562,7 +587,15 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
                     logger.log(
                         rep=rep, cls=c, query=q, round=rnd, ap=float(ap),
                         round_ms=timer.ms("round"), sharded=n_dev,
+                        labeled=int(np.asarray(state.active).sum()),
+                        **{f"recall@{k}": float(r)
+                           for k, r in zip(RECALL_KS, np.asarray(recalls))},
                     )
+                    if ckpt_path:
+                        ckpt.save_session(
+                            ckpt_path, state,
+                            extra={"curve": np.asarray(curve), "next_round": rnd + 1},
+                        )
                 ap_curves.append(curve)
                 sessions.append({"rep": rep, "cls": c, "query": q})
     logger.close()

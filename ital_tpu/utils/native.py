@@ -1,4 +1,4 @@
-"""Build + ctypes bindings for the native C++ components (native/mvndst.cpp).
+"""Build + ctypes bindings for the native C++ components (ital_tpu/native/mvndst.cpp).
 
 The shared library is compiled on first use with the system ``g++`` and cached
 next to the XLA compilation cache; everything degrades gracefully (``None``)
@@ -18,8 +18,21 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
-def _repo_root() -> str:
-    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+def _source_path() -> Optional[str]:
+    """Locate ``mvndst.cpp`` — shipped as package data (works for wheel
+    installs, not just repo checkouts; advisor round-1 finding)."""
+    try:
+        from importlib import resources
+
+        p = resources.files("ital_tpu").joinpath("native/mvndst.cpp")
+        if p.is_file():
+            return str(p)
+    except Exception:
+        pass
+    # Fallback: repo-checkout layout relative to this module.
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cand = os.path.join(root, "ital_tpu", "native", "mvndst.cpp")
+    return cand if os.path.exists(cand) else None
 
 
 def _build_dir() -> str:
@@ -37,8 +50,8 @@ def load_mvndst() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    src = os.path.join(_repo_root(), "native", "mvndst.cpp")
-    if not os.path.exists(src):
+    src = _source_path()
+    if src is None:
         return None
     so = os.path.join(_build_dir(), "libmvndst.so")
     if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):

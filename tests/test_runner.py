@@ -83,6 +83,38 @@ def test_sharded_runner_end_to_end():
     assert abs(res["map"][-1] - res_single["map"][-1]) < 0.1
 
 
+def test_sharded_runner_resume_bit_identical(tmp_path):
+    """Sharded checkpoint/resume: interrupted-then-resumed == uninterrupted."""
+    base = _toy_cfg(batch_size=2, n_rounds=3, mesh_devices=4,
+                    user=UserConfig(label_prob=0.8, mistake_prob=0.1))
+    full = run_experiment(base)
+    ck = str(tmp_path / "ck")
+    run_experiment(dataclasses.replace(base, n_rounds=2, checkpoint_dir=ck))
+    resumed = run_experiment(
+        dataclasses.replace(base, checkpoint_dir=ck, resume=True)
+    )
+    np.testing.assert_allclose(resumed["ap"], full["ap"], atol=1e-6)
+
+
+def test_sharded_jsonl_has_recall_and_labeled(tmp_path):
+    """Sharded path logs the same per-round observability as the serial path."""
+    import json
+
+    log = tmp_path / "s.jsonl"
+    run_experiment(_toy_cfg(batch_size=2, n_rounds=2, mesh_devices=4,
+                            log_jsonl=str(log)))
+    lines = [json.loads(l) for l in log.read_text().splitlines()]
+    assert {"recall@10", "recall@50", "labeled", "ap"} <= set(lines[0])
+
+
+def test_sharded_density_strategy_end_to_end():
+    """A density-weighted baseline (sud) runs sharded through the runner
+    (ring density attached automatically)."""
+    res = run_experiment(_toy_cfg(method="sud", batch_size=2, n_rounds=2,
+                                  mesh_devices=4))
+    assert np.isfinite(res["ap"]).all()
+
+
 def test_golden_toy_curve():
     """BASELINE config 1 (seeded, CPU): frozen golden MAP-vs-rounds curve.
 
@@ -105,6 +137,100 @@ def test_golden_toy_curve():
     np.testing.assert_allclose(res["ap"], golden["ap"], atol=1e-6)
 
 
+@pytest.mark.slow
+def test_oracle_end_to_end_map_curve_parity():
+    """SURVEY section 4 item 6 / VERDICT r1 item 3 — the strongest parity
+    statement available while the reference mount is empty: a FULL interactive
+    session (fit -> greedy ITAL selection -> noisy user -> refit -> AP, six
+    rounds) through the dense f64 NumPy oracle and through the TPU path, with
+    identical seeded user realizations.  Selected batches must match round by
+    round and the AP curves must agree, so the golden-curve files are no longer
+    the primary end-to-end evidence."""
+    import jax
+    import jax.numpy as jnp
+
+    from ital_tpu.data.datasets import toy_gaussians
+    from ital_tpu.data.user import simulate_feedback
+    from ital_tpu.models import gp as gp_mod
+    from ital_tpu.select.base import StrategyParams
+    from ital_tpu.select.ital import select_ital
+    from ital_tpu.utils.metrics import average_precision as ap_tpu_fn
+    from tests.oracle import numpy_oracle as oracle
+
+    ds = toy_gaussians(n_per_class=80, n_classes=3, dim=2, seed=3)
+    n, query = ds.n, 11
+    cls = int(ds.labels[query])
+    relevant = ds.relevance[:, cls].astype(bool)
+    ls, var, noise = 1.5, 1.0, 0.1
+    batch_size, n_rounds = 2, 6
+    label_prob, mistake_prob = 0.9, 0.05
+
+    # TPU path state
+    state = gp_mod.gp_init(jnp.asarray(ds.x), ls, var, noise, cap=24)
+    state = gp_mod.gp_set_query(state, jnp.asarray(query))
+    params = StrategyParams(
+        label_prob=jnp.asarray(label_prob), mistake_prob=jnp.asarray(mistake_prob)
+    )
+    relevant_j = jnp.asarray(relevant)
+    exclude = jnp.zeros((n,), bool).at[query].set(True)
+
+    # Oracle state (dense f64, per-round refits — the reference's shape)
+    gp_o = oracle.OracleGP(ds.x, ls, var, noise)
+    labeled = [query]
+    labels = [1.0]
+
+    # Seed round: a fixed labeled set applied to BOTH paths.  With only the
+    # query labeled, MI saturates at its plateau and >100 candidates tie at
+    # ULP level, making the argmax comparison meaningless (CLAUDE.md "MI
+    # ties"); after these labels the top scores separate by ~1e-3 >> the
+    # 4e-7 TPU-vs-oracle score difference, so batch equality is well-posed.
+    seed_picks = list(range(5, n, 24))  # 10 labels spread over the corpus
+    seed_y = [1.0 if relevant[i] else -1.0 for i in seed_picks]
+    state = gp_mod.gp_update(
+        state,
+        jnp.asarray(seed_picks, jnp.int32),
+        jnp.asarray(seed_y, jnp.float32),
+        jnp.ones(len(seed_picks), bool),
+    )
+    labeled += seed_picks
+    labels += seed_y
+    gp_o.fit(labeled, labels)
+
+    skey = jax.random.PRNGKey(42)
+    curve_tpu, curve_oracle = [], []
+    for rnd in range(n_rounds):
+        k_sel, k_user = jax.random.split(jax.random.fold_in(skey, rnd))
+
+        batch_t = np.asarray(select_ital(state, batch_size, k_sel, params, n_qmc=512))
+        candidates = [i for i in range(n) if i not in labeled]
+        batch_o = oracle.ital_select(
+            gp_o, candidates, batch_size, label_prob, mistake_prob
+        )
+        np.testing.assert_array_equal(batch_t, np.asarray(batch_o)), (
+            f"round {rnd}: TPU batch {batch_t} != oracle batch {batch_o}"
+        )
+
+        # ONE user realization drives both paths.
+        y, valid = simulate_feedback(
+            k_user, jnp.asarray(batch_t), relevant_j,
+            params.label_prob, params.mistake_prob,
+        )
+        state = gp_mod.gp_update(state, jnp.asarray(batch_t), y, valid)
+        for i, yy, vv in zip(batch_t, np.asarray(y), np.asarray(valid)):
+            if vv:
+                labeled.append(int(i))
+                labels.append(float(yy))
+        gp_o.fit(labeled, labels)
+
+        curve_tpu.append(float(ap_tpu_fn(state.mu, relevant_j, exclude)))
+        curve_oracle.append(
+            oracle.average_precision(relevant, gp_o.predict_mean(), exclude=[query])
+        )
+
+    np.testing.assert_allclose(curve_tpu, curve_oracle, atol=5e-3)
+    assert curve_tpu[-1] > curve_tpu[0] - 0.05  # the session actually learns
+
+
 def test_regression_experiment_reduces_rmse():
     """Active GP regression (reference C7): RMSE falls as labels accumulate,
     and MI-greedy (ital_regression) beats random selection."""
@@ -125,6 +251,41 @@ def test_regression_experiment_reduces_rmse():
 
     res_rand = run_regression_experiment(dataclasses.replace(cfg, method="random"))
     assert res["mean_rmse"][-1] <= res_rand["mean_rmse"][-1] + 0.02
+
+
+def test_regression_capacity_guard():
+    """Regression entry point fails fast when rounds x batch exceed cap
+    (advisor round-1 finding: the overflow silently corrupted RMSE)."""
+    cfg = ExperimentConfig(
+        dataset="regression_toy", dataset_kwargs=dict(n=100, dim=1, seed=0),
+        method="ital_regression", batch_size=3, n_rounds=6,
+        gp=GPConfig(cap=17),  # needs 18 slots (no query slot in regression)
+    )
+    from ital_tpu.runner import run_regression_experiment
+
+    with pytest.raises(ValueError, match="capacity"):
+        run_regression_experiment(cfg)
+
+
+def test_cli_override_without_config(capsys):
+    """``ital-tpu SECTION.key=value ...`` (no .ini) must treat the first
+    positional as an override, not a config path (advisor round-1 finding)."""
+    from ital_tpu.cli import main
+
+    rc = main([
+        "EXPERIMENT.method=random",
+        "EXPERIMENT.dataset=toy",
+        "EXPERIMENT.batch_size=1",
+        "EXPERIMENT.n_rounds=1",
+        "EXPERIMENT.queries_per_class=1",
+        "EXPERIMENT.max_classes=2",
+        "DATA.n_per_class=20",
+        "DATA.n_classes=2",
+        "DATA.dim=2",
+        "GP.cap=8",
+    ])
+    assert rc == 0
+    assert "MAP" in capsys.readouterr().out
 
 
 def test_vmapped_query_batch_matches_serial():

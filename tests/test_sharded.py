@@ -86,7 +86,7 @@ def test_sharded_round_matches_single_device(strategy):
     round_fn = make_sharded_round(
         mesh, strategy=strategy, batch_size=batch_size, n_qmc=64
     )
-    state_m, batch_m, ap_m = round_fn(
+    state_m, batch_m, ap_m, _ = round_fn(
         state_m, key, relevant, sel_forbid, ap_exclude, params
     )
 
@@ -106,7 +106,7 @@ def test_sharded_multi_round_session():
     aps = []
     for r in range(3):
         key = jax.random.fold_in(jax.random.PRNGKey(0), r)
-        state, batch, ap = round_fn(
+        state, batch, ap, _ = round_fn(
             state, key, relevant, sel_forbid, ap_exclude, params
         )
         aps.append(float(ap))
@@ -123,7 +123,7 @@ def test_uncertainty_masking_note():
     ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = _setup()
     state = shard_state(gp_mod.gp_set_query(state0, jnp.asarray(query)), mesh)
     round_fn = make_sharded_round(mesh, strategy="random", batch_size=4)
-    _, batch, _ = round_fn(state, jax.random.PRNGKey(1), relevant, sel_forbid,
+    _, batch, _, _ = round_fn(state, jax.random.PRNGKey(1), relevant, sel_forbid,
                            ap_exclude, params)
     assert (np.asarray(batch) < ds.n).all()
 
@@ -197,10 +197,188 @@ def test_ring_strategies_match_single_device(strategy):
     )
 
 
+def _divisible_setup(n_dev=8):
+    """240-row corpus (divisible by 8, no pad rows) so sharded semantics ==
+    single-device semantics exactly and registered strategies compare 1:1."""
+    ds = toy_gaussians(n_per_class=80, n_classes=3, dim=2, seed=5)
+    assert ds.n % n_dev == 0
+    mesh = make_mesh(n_dev)
+    state0 = gp_mod.gp_init(jnp.asarray(ds.x), LS, VAR, NOISE, cap=16)
+    query = 4
+    cls = int(ds.labels[query])
+    relevant = jnp.asarray(ds.relevance[:, cls])
+    sel_forbid, ap_exclude = make_masks(ds.n, ds.n, query)
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.9), mistake_prob=jnp.asarray(0.05)
+    )
+    return ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params
+
+
+def _warmed_dense(state0, ds, query):
+    """Posterior with 10 spread labels: MI scores are then distinct (no
+    saturated-plateau ties, which are ULP-sensitive — see CLAUDE.md)."""
+    state = gp_mod.gp_set_query(state0, jnp.asarray(query))
+    cls = int(ds.labels[query])
+    picks = list(range(5, ds.n, 24))
+    ys = [1.0 if ds.relevance[i, cls] else -1.0 for i in picks]
+    return gp_mod.gp_update(
+        state,
+        jnp.asarray(picks, jnp.int32),
+        jnp.asarray(ys, jnp.float32),
+        jnp.ones(len(picks), bool),
+    )
+
+
+def _all_strategies():
+    import ital_tpu.select  # noqa: F401 — triggers registration
+
+    from ital_tpu.select.base import STRATEGIES
+
+    return sorted(STRATEGIES)
+
+
+@pytest.mark.parametrize("strategy", _all_strategies())
+def test_every_registered_strategy_sharded(strategy):
+    """VERDICT r1 item 4: every registered strategy runs sharded and matches
+    the single-device path (exact batch for exact-math strategies; loose AP
+    for the ring reductions whose fp summation order differs)."""
+    from ital_tpu.parallel.sharded import make_sharded_density
+    from ital_tpu.select.base import get_strategy
+
+    ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = (
+        _divisible_setup()
+    )
+    batch_size = 2
+    key = jax.random.PRNGKey(7)
+    state_s = _warmed_dense(state0, ds, query)
+    if strategy in ("sud", "tcal", "adapt_al"):
+        state_s = state_s.replace(density=gp_mod.corpus_density(state_s))
+
+    # Single-device reference: the registered strategy with the same key
+    # derivation the sharded round uses internally.
+    k_sel, k_user = jax.random.split(key)
+    kwargs = {"n_qmc": 32} if strategy == "ital" else {}
+    batch_ref = get_strategy(strategy)(state_s, batch_size, k_sel, params, **kwargs)
+    y, valid = simulate_feedback(
+        k_user, batch_ref, relevant, params.label_prob, params.mistake_prob
+    )
+    state_ref = gp_mod.gp_update(state_s, batch_ref, y, valid)
+    ap_ref = average_precision(state_ref.mu, relevant, ap_exclude)
+
+    # Sharded path (density strategies use their own ring density — equality
+    # is pinned by test_sharded_density_matches_single_device).
+    state_m = state_s
+    if strategy in ("sud", "tcal", "adapt_al"):
+        dens_m = make_sharded_density(mesh)(
+            shard_state(state0, mesh), jnp.zeros(ds.n, bool)
+        )
+        state_m = state_s.replace(density=dens_m)
+    round_fn = make_sharded_round(
+        mesh, strategy=strategy, batch_size=batch_size, n_qmc=32
+    )
+    state_m, batch_m, ap_m, _ = round_fn(
+        shard_state(state_m, mesh), key, relevant, sel_forbid, ap_exclude, params
+    )
+
+    assert (np.asarray(batch_m) < ds.n).all()
+    if strategy in ("emoc", "mcmi_min"):
+        np.testing.assert_allclose(float(ap_m), float(ap_ref), atol=5e-2)
+    else:
+        np.testing.assert_array_equal(np.asarray(batch_m), np.asarray(batch_ref))
+        np.testing.assert_allclose(
+            np.asarray(state_m.mu), np.asarray(state_ref.mu), atol=2e-3
+        )
+        np.testing.assert_allclose(float(ap_m), float(ap_ref), atol=2e-3)
+
+
+def test_sharded_density_matches_single_device():
+    """Ring-pass density == single-device corpus_density on the real rows,
+    including when the corpus pads to N % 8 != 0."""
+    from ital_tpu.parallel.sharded import make_sharded_density
+
+    ds, mesh, state0_pad, query, *_ = _setup()  # 231 rows -> 232 padded
+    x_pad, n_real = pad_to_devices(ds.x, 8)
+    pad_mask = jnp.arange(x_pad.shape[0]) >= n_real
+
+    dens_m = make_sharded_density(mesh)(shard_state(state0_pad, mesh), pad_mask)
+
+    state_single = gp_mod.gp_init(jnp.asarray(ds.x), LS, VAR, NOISE, cap=16)
+    dens_s = gp_mod.corpus_density(state_single)
+    np.testing.assert_allclose(
+        np.asarray(dens_m)[:n_real], np.asarray(dens_s), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_pool_size_matches_single_device():
+    """ITAL's candidate-pool restriction (pool_size) on the sharded path picks
+    the same batch as the single-device top-k mask."""
+    ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = (
+        _divisible_setup()
+    )
+    state_s = _warmed_dense(state0, ds, query)
+    key = jax.random.PRNGKey(11)
+    k_sel, _ = jax.random.split(key)
+    batch_ref = select_ital(state_s, 2, k_sel, params, n_qmc=32, pool_size=24)
+
+    round_fn = make_sharded_round(
+        mesh, strategy="ital", batch_size=2, n_qmc=32, pool_size=24
+    )
+    _, batch_m, _, _ = round_fn(
+        shard_state(state_s, mesh), key, relevant, sel_forbid, ap_exclude, params
+    )
+    np.testing.assert_array_equal(np.asarray(batch_m), np.asarray(batch_ref))
+
+
+def test_sharded_recall_logging():
+    """The sharded round returns recall@k alongside AP (runner feature parity)."""
+    ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = _setup()
+    state = shard_state(gp_mod.gp_set_query(state0, jnp.asarray(query)), mesh)
+    round_fn = make_sharded_round(
+        mesh, strategy="topscoring", batch_size=2, recall_ks=(10, 50)
+    )
+    _, _, ap, recalls = round_fn(
+        state, jax.random.PRNGKey(0), relevant, sel_forbid, ap_exclude, params
+    )
+    recalls = np.asarray(recalls)
+    assert recalls.shape == (2,)
+    assert np.isfinite(recalls).all() and (0 <= recalls).all() and (recalls <= 1).all()
+
+
 def test_sharded_round_emoc_runs():
     ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = _setup()
     state = shard_state(_warmed(state0, ds, query), mesh)
     round_fn = make_sharded_round(mesh, strategy="emoc", batch_size=3)
-    _, batch, ap = round_fn(state, jax.random.PRNGKey(0), relevant, sel_forbid,
+    _, batch, ap, _ = round_fn(state, jax.random.PRNGKey(0), relevant, sel_forbid,
                             ap_exclude, params)
     assert (np.asarray(batch) < ds.n).all() and np.isfinite(float(ap))
+
+
+@pytest.mark.slow
+def test_sharded_100k_scale_smoke():
+    """BASELINE config 5 shape at 100k rows with N % 8 != 0 (VERDICT r1 item
+    10): two sharded ITAL rounds stay finite, never pick pad rows, and the
+    boundary masks hold with 6 pad rows on the last shard."""
+    n_real, d = 100_002, 16
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n_real, d)).astype(np.float32)
+    x_pad, n_chk = pad_to_devices(x, 8)
+    assert n_chk == n_real and x_pad.shape[0] == 100_008
+    mesh = make_mesh(8)
+    state = gp_mod.gp_init(jnp.asarray(x_pad), 4.0, 1.0, 0.1, cap=8)
+    state = shard_state(gp_mod.gp_set_query(state, jnp.asarray(3)), mesh)
+    relevant = jnp.asarray(
+        np.pad(rng.random(n_real) < 0.1, (0, x_pad.shape[0] - n_real))
+    )
+    sel_forbid, ap_exclude = make_masks(x_pad.shape[0], n_real, 3)
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.9), mistake_prob=jnp.asarray(0.05)
+    )
+    round_fn = make_sharded_round(mesh, strategy="ital", batch_size=2, n_qmc=8)
+    for r in range(2):
+        state, batch, ap, _ = round_fn(
+            state, jax.random.fold_in(jax.random.PRNGKey(0), r),
+            relevant, sel_forbid, ap_exclude, params,
+        )
+        assert (np.asarray(batch) < n_real).all(), "pad row selected"
+        assert np.isfinite(float(ap))
+    assert int(state.count) == 1 + 2 * 2
