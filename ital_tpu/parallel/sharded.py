@@ -512,32 +512,27 @@ _DIVERSITY_BASES = {
 }
 
 
-def make_sharded_round(
-    mesh,
-    *,
-    strategy: str = "ital",
-    batch_size: int = 4,
-    n_qmc: int = 128,
-    pool_size: int = 0,
-    recall_ks: tuple = (),
-):
-    """Build the jitted sharded feedback-round step.
+def _check_mi_batch(strategy: str, batch_size: int) -> None:
+    if strategy == "ital":
+        from ital_tpu.select.ital import MAX_MI_BATCH
 
-    Returns ``round_fn(state, key, relevant, sel_forbid, ap_exclude, params)
-    -> (state, batch, ap, recalls)`` where ``state`` is sharded (see
-    :func:`shard_state`), ``relevant``/masks are replicated (N,) bools, and one
-    call runs select -> simulate user -> GP update -> rank -> AP/recall@k
-    entirely on the mesh.  Every registered retrieval strategy is supported
-    (diversity/density baselines included); ``pool_size`` restricts ITAL's
-    candidates to the global top-ranked pool like the single-device path.
-    ``recalls`` is ``(len(recall_ks),)`` (empty when no ks are requested).
-    """
+        if batch_size > MAX_MI_BATCH:
+            raise ValueError(
+                f"ITAL batch_size={batch_size} exceeds the supported maximum "
+                f"{MAX_MI_BATCH} (3^m feedback table + QMC accuracy; see "
+                f"select/ital.py)"
+            )
+
+
+def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks):
+    """The shard-local feedback-round body shared by the per-round and
+    fused-session entry points (call only inside ``shard_map``)."""
 
     def _round(state, key, relevant, sel_forbid, ap_exclude, params):
         k_sel, k_user = jax.random.split(key)
 
         # --- greedy selection with collective argmax ---
-        pad_local = sel_forbid_local(state, sel_forbid)
+        pad_local = _sel_forbid_local(state, sel_forbid)
         forbid = local_slot_mask(state, extra_forbid=pad_local)
         outside_pool = (
             _sharded_pool_mask(state, forbid, pool_size)
@@ -606,24 +601,111 @@ def make_sharded_round(
         ) if recall_ks else jnp.zeros((0,), state.mu.dtype)
         return state, batch, ap, recalls
 
-    def sel_forbid_local(state, sel_forbid_full):
-        """Slice the replicated (N,) forbid mask down to this shard's rows."""
-        shard_n = state.x.shape[0]
-        start = _offset(shard_n)
-        return jax.lax.dynamic_slice(sel_forbid_full, (start,), (shard_n,))
+    return _round
+
+
+def _sel_forbid_local(state, sel_forbid_full):
+    """Slice the replicated (N,) forbid mask down to this shard's rows."""
+    shard_n = state.x.shape[0]
+    start = _offset(shard_n)
+    return jax.lax.dynamic_slice(sel_forbid_full, (start,), (shard_n,))
+
+
+_PARAM_PSPECS = StrategyParams(
+    label_prob=P(), mistake_prob=P(), jitter=P(), tradeoff=P()
+)
+
+
+def make_sharded_round(
+    mesh,
+    *,
+    strategy: str = "ital",
+    batch_size: int = 4,
+    n_qmc: int = 128,
+    pool_size: int = 0,
+    recall_ks: tuple = (),
+):
+    """Build the jitted sharded feedback-round step.
+
+    Returns ``round_fn(state, key, relevant, sel_forbid, ap_exclude, params)
+    -> (state, batch, ap, recalls)`` where ``state`` is sharded (see
+    :func:`shard_state`), ``relevant``/masks are replicated (N,) bools, and one
+    call runs select -> simulate user -> GP update -> rank -> AP/recall@k
+    entirely on the mesh.  Every registered retrieval strategy is supported
+    (diversity/density baselines included); ``pool_size`` restricts ITAL's
+    candidates to the global top-ranked pool like the single-device path.
+    ``recalls`` is ``(len(recall_ks),)`` (empty when no ks are requested).
+    """
+    _check_mi_batch(strategy, batch_size)
+    _round = _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks)
 
     def wrapped(state, key, relevant, sel_forbid, ap_exclude, params):
         specs = state_pspecs(state)
-        pspecs = StrategyParams(
-            label_prob=P(), mistake_prob=P(), jitter=P(), tradeoff=P()
-        )
         fn = jax.shard_map(
             _round,
             mesh=mesh,
-            in_specs=(specs, P(), P(), P(), P(), pspecs),
+            in_specs=(specs, P(), P(), P(), P(), _PARAM_PSPECS),
             out_specs=(specs, P(), P(), P()),
             check_vma=False,
         )
         return fn(state, key, relevant, sel_forbid, ap_exclude, params)
 
     return jax.jit(wrapped)
+
+
+def make_sharded_session(
+    mesh,
+    *,
+    strategy: str = "ital",
+    batch_size: int = 4,
+    n_rounds: int = 10,
+    n_qmc: int = 128,
+    pool_size: int = 0,
+):
+    """Whole SESSION fused on the mesh: all ``n_rounds`` in one device program.
+
+    The sharded analog of the single-device ``fused_sessions`` mode
+    (``runner.make_fused_session_fn``): selection, the simulated user, the GP
+    update, ranking, and AP for every round run inside one ``shard_map`` +
+    ``lax.fori_loop`` — one dispatch and one host sync per session, with all
+    cross-chip traffic (psum gathers, collective argmax, all_gather ranking)
+    riding ICI inside the loop.  Returns
+    ``session_fn(state, skey, relevant, sel_forbid, ap_exclude, params)
+    -> (state, aps)`` with ``aps`` the replicated (n_rounds,) AP curve.
+    Identical per-round PRNG derivation to the per-round sharded path
+    (``fold_in(skey, round)``), so curves match it exactly (tested).
+
+    The greedy selection is Python-unrolled over ``batch_size`` (static) but
+    the ROUND axis is a ``fori_loop``: per-round state (labeled buffers,
+    Cholesky factor, whitened block rows) lives in fixed-capacity padded
+    buffers, which is what makes the loop-carried state static-shaped.
+    """
+    _check_mi_batch(strategy, batch_size)
+    inner_round = _make_round_body(
+        mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=()
+    )
+
+    def _session(state, skey, relevant, sel_forbid, ap_exclude, params):
+        def body(rnd, carry):
+            state, aps = carry
+            rkey = jax.random.fold_in(skey, rnd)
+            state, _batch, ap, _ = inner_round(
+                state, rkey, relevant, sel_forbid, ap_exclude, params
+            )
+            return state, aps.at[rnd].set(ap)
+
+        aps0 = jnp.zeros((n_rounds,), state.mu.dtype)
+        return jax.lax.fori_loop(0, n_rounds, body, (state, aps0))
+
+    def session(state, skey, relevant, sel_forbid, ap_exclude, params):
+        specs = state_pspecs(state)
+        fn = jax.shard_map(
+            _session,
+            mesh=mesh,
+            in_specs=(specs, P(), P(), P(), P(), _PARAM_PSPECS),
+            out_specs=(specs, P()),
+            check_vma=False,
+        )
+        return fn(state, skey, relevant, sel_forbid, ap_exclude, params)
+
+    return jax.jit(session)

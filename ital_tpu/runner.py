@@ -88,9 +88,9 @@ def run_experiment(
         dataset = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
     _check_capacity(cfg)
     if cfg.mesh_devices:
-        if cfg.fused_sessions or cfg.query_batch > 1:
-            print("# fused_sessions/query_batch are not implemented for the "
-                  "sharded path; running per-round sharded steps")
+        if cfg.query_batch > 1:
+            print("# query_batch is not implemented for the sharded path "
+                  "(sessions share the corpus mesh); running sessions serially")
         return run_experiment_sharded(cfg, dataset)
     if cfg.query_batch and cfg.query_batch > 1:
         return run_experiment_vmapped(cfg, dataset)
@@ -533,14 +533,30 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
         mistake_prob=jnp.asarray(cfg.user.mistake_prob),
         tradeoff=jnp.asarray(float(cfg.method_kwargs.get("tradeoff", 0.5))),
     )
-    round_fn = make_sharded_round(
-        mesh,
-        strategy=cfg.method,
-        batch_size=cfg.batch_size,
-        n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
-        pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
-        recall_ks=RECALL_KS,
-    )
+    fused = bool(cfg.fused_sessions)
+    if fused and (cfg.checkpoint_dir or cfg.resume):
+        print("# fused_sessions runs each session as one device program; "
+              "checkpoint_dir/resume are per-round features and are ignored")
+    if fused:
+        from ital_tpu.parallel.sharded import make_sharded_session
+
+        session_fn = make_sharded_session(
+            mesh,
+            strategy=cfg.method,
+            batch_size=cfg.batch_size,
+            n_rounds=cfg.n_rounds,
+            n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
+            pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
+        )
+    else:
+        round_fn = make_sharded_round(
+            mesh,
+            strategy=cfg.method,
+            batch_size=cfg.batch_size,
+            n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
+            pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
+            recall_ks=RECALL_KS,
+        )
 
     classes = dataset.classes
     if cfg.max_classes:
@@ -564,6 +580,19 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
                 skey = jax.random.fold_in(
                     jax.random.fold_in(jax.random.fold_in(base_key, rep), c), q
                 )
+                if fused:
+                    with timer.span("session"):
+                        state, aps = session_fn(
+                            shard_state(state, mesh), skey, relevant,
+                            sel_forbid, ap_exclude, params,
+                        )
+                        aps = np.asarray(aps)  # the one host sync
+                    curve = [float(v) for v in aps]
+                    logger.log(rep=rep, cls=c, query=q, ap_curve=curve,
+                               session_ms=timer.ms("session"), sharded=n_dev)
+                    ap_curves.append(curve)
+                    sessions.append({"rep": rep, "cls": c, "query": q})
+                    continue
                 curve: list = []
                 start_round = 0
                 ckpt_path = None
@@ -604,10 +633,12 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
     return {
         "ap": ap,
         "map": ap.mean(axis=0) if ap.size else np.zeros(cfg.n_rounds),
-        "select_ms": timer.ms("round"),
+        "select_ms": (timer.ms("session") / max(cfg.n_rounds, 1)
+                      if fused else timer.ms("round")),
         "update_ms": 0.0,
         "sessions": sessions,
         "dataset": dataset.name,
         "method": cfg.method,
         "mesh_devices": n_dev,
+        **({"fused": True} if fused else {}),
     }

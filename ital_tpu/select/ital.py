@@ -38,6 +38,12 @@ from ital_tpu.models.gp import GPState, gp_posterior_cov_columns, gp_predict_ful
 from ital_tpu.ops.mvn import orthant_probs_all_configs, small_cholesky
 from ital_tpu.select.base import StrategyParams, greedy_argmax_batch, register
 
+# Largest supported MI batch: the enumeration tables grow 2^m / 3^m and the
+# fixed-lattice QMC orthant accuracy is only validated to m = 6
+# (tests/test_mvn.py) — beyond that both cost and error climb silently, so
+# entry points fail fast instead (SURVEY.md section 3.2 complexity note).
+MAX_MI_BATCH = 6
+
 
 @functools.lru_cache(maxsize=None)
 def sign_table(m: int) -> np.ndarray:
@@ -113,7 +119,7 @@ def mi_scores_from_moments(
     *,
     t: int,
     n_qmc: int = 128,
-    block: int = 8192,
+    block: int = 1024,
 ) -> jax.Array:
     """MI of appending each candidate to the partial batch, from posterior moments.
 
@@ -152,6 +158,14 @@ def mi_scores_from_moments(
     # (candidates x 2^m x n_qmc) working set stays VMEM/HBM-friendly at any
     # corpus size (the unblocked form carries ~6 GB at N=100k, m=4).  Pad
     # variance with 1.0 so the per-candidate Cholesky stays SPD on pad rows.
+    #
+    # block=1024 is profile-tuned (results/timing_corroboration.json, round 2):
+    # at m=4, n_qmc=128 the per-block intermediates are (block, 16, 128) f32 =
+    # 8 MiB — small enough that XLA keeps the QMC chain's tensors between
+    # fusions out of HBM.  The former block=8192 spilled 64 MiB intermediates
+    # to HBM between every fusion and measured 2.1-2.3x SLOWER at
+    # MIRFLICKR-25K scale on v5e (33 -> 14.5 ms/round); blocks below ~1024
+    # start paying per-iteration loop overhead instead.
     from ital_tpu.ops.blocking import blocked_map
 
     return blocked_map(
@@ -205,6 +219,15 @@ def select_ital(
     selection semantics at zero extra cost.
     """
     del key  # deterministic given the fixed QMC lattice
+
+    if batch_size > MAX_MI_BATCH:
+        raise ValueError(
+            f"ITAL batch_size={batch_size} exceeds the supported maximum "
+            f"{MAX_MI_BATCH}: the feedback-configuration table grows 3^m "
+            f"(={3 ** batch_size}) and the fixed-lattice QMC orthant accuracy "
+            f"degrades beyond m={MAX_MI_BATCH} (see tests/test_mvn.py); use a "
+            f"smaller batch or multiple rounds"
+        )
 
     if pool_size:
         # Pool = exactly the top-`pool_size` *unlabeled* items by posterior

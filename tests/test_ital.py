@@ -111,3 +111,27 @@ def test_noiseless_user_mi_reduces_to_relevance_entropy(rng):
     mi = float(mutual_information_from_relevance(jnp.asarray(pr), pfr))
     h_r = float(-(pr * np.log(pr)).sum())
     assert mi == pytest.approx(h_r, abs=1e-5)
+
+
+def test_batch_size_guard():
+    """MI batches above MAX_MI_BATCH fail fast (3^m table + QMC accuracy
+    cliff — VERDICT r1 item 9) on both the single-device and sharded paths."""
+    import numpy as np
+
+    from ital_tpu.models import gp as gp_mod
+    from ital_tpu.select.ital import MAX_MI_BATCH
+
+    rng = np.random.default_rng(0)
+    state = gp_mod.gp_init(
+        jnp.asarray(rng.normal(size=(64, 4)).astype(np.float32)), 1.0, 1.0, 0.1, 64
+    )
+    state = gp_mod.gp_set_query(state, jnp.asarray(0))
+    params = StrategyParams()
+    with pytest.raises(ValueError, match="batch_size"):
+        select_ital(state, MAX_MI_BATCH + 1, jax.random.PRNGKey(0), params)
+
+    from ital_tpu.parallel import make_mesh, make_sharded_round
+
+    with pytest.raises(ValueError, match="batch_size"):
+        make_sharded_round(make_mesh(2), strategy="ital",
+                           batch_size=MAX_MI_BATCH + 1)

@@ -105,3 +105,23 @@ def test_tree_orthants_equal_naive(rng, m):
     naive = orthant_probs_all_configs(jnp.asarray(mu), chol, table, n_points=128)
     tree = orthant_probs_all_configs_tree(jnp.asarray(mu), chol, n_points=128)
     np.testing.assert_allclose(np.asarray(tree), np.asarray(naive), atol=2e-6)
+
+
+def test_against_scipy_genz_m6(rng):
+    """m=6 — the largest batch the framework accepts (select/ital.py
+    MAX_MI_BATCH): accuracy vs scipy MVNDST still holds at a documented,
+    slightly looser tolerance (the fixed-lattice QMC error grows with m)."""
+    m = 6
+    a = rng.normal(size=(m, m))
+    cov = a @ a.T + m * np.eye(m)
+    mu = rng.normal(size=(m,)) * 0.8
+    chol = _chol(cov)
+    for signs in itertools.islice(itertools.product([-1.0, 1.0], repeat=m), 16):
+        ours = float(
+            mvn_orthant_prob(
+                jnp.asarray(mu, jnp.float32), chol, jnp.asarray(signs),
+                n_points=512,
+            )
+        )
+        ref = mvn_orthant(mu, cov, signs)
+        assert ours == pytest.approx(ref, abs=8e-3), signs

@@ -359,3 +359,14 @@ def test_profile_dir_writes_trace(tmp_path):
     for root, _, files in os.walk(tmp_path / "prof"):
         found += [f for f in files if f.endswith((".xplane.pb", ".json.gz", ".trace.json.gz"))]
     assert found, "no profiler artifacts written"
+
+
+def test_sharded_fused_sessions_runner_matches_per_round():
+    """fused_sessions x mesh_devices composes: one device program per session
+    on the mesh, identical curves to the per-round sharded runner."""
+    base = _toy_cfg(batch_size=2, n_rounds=3, mesh_devices=4,
+                    user=UserConfig(label_prob=0.8, mistake_prob=0.1))
+    per_round = run_experiment(base)
+    fused = run_experiment(dataclasses.replace(base, fused_sessions=True))
+    assert fused["fused"] is True and fused["mesh_devices"] == 4
+    np.testing.assert_allclose(fused["ap"], per_round["ap"], atol=1e-5)

@@ -382,3 +382,37 @@ def test_sharded_100k_scale_smoke():
         assert (np.asarray(batch) < n_real).all(), "pad row selected"
         assert np.isfinite(float(ap))
     assert int(state.count) == 1 + 2 * 2
+
+
+def test_sharded_fused_session_matches_per_round():
+    """make_sharded_session (all rounds in ONE mesh program) == the per-round
+    sharded path, curve for curve (same fold_in key derivation)."""
+    from ital_tpu.parallel.sharded import make_sharded_session
+
+    ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = _setup()
+    n_rounds, batch_size = 3, 2
+    skey = jax.random.PRNGKey(9)
+
+    state_r = shard_state(gp_mod.gp_set_query(state0, jnp.asarray(query)), mesh)
+    round_fn = make_sharded_round(mesh, strategy="ital", batch_size=batch_size,
+                                  n_qmc=32)
+    curve_r = []
+    for rnd in range(n_rounds):
+        state_r, _, ap, _ = round_fn(
+            state_r, jax.random.fold_in(skey, rnd), relevant, sel_forbid,
+            ap_exclude, params,
+        )
+        curve_r.append(float(ap))
+
+    state_f = shard_state(gp_mod.gp_set_query(state0, jnp.asarray(query)), mesh)
+    session_fn = make_sharded_session(
+        mesh, strategy="ital", batch_size=batch_size, n_rounds=n_rounds, n_qmc=32
+    )
+    state_f, aps = session_fn(
+        state_f, skey, relevant, sel_forbid, ap_exclude, params
+    )
+    np.testing.assert_allclose(np.asarray(aps), curve_r, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state_f.mu), np.asarray(state_r.mu), atol=1e-5
+    )
+    assert int(state_f.count) == 1 + n_rounds * batch_size
