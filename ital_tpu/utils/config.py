@@ -86,21 +86,24 @@ def _coerce(value: str) -> Any:
     return value
 
 
-def _apply_section(obj: Any, section: configparser.SectionProxy, extras: Dict[str, Any]):
+def _apply_section(obj: Any, section: configparser.SectionProxy):
     for key, raw in section.items():
-        val = _coerce(raw)
-        if hasattr(obj, key):
-            setattr(obj, key, val)
-        else:
-            extras[key] = val
+        if not hasattr(obj, key):
+            valid = ", ".join(sorted(f.name for f in dataclasses.fields(obj)))
+            raise ValueError(
+                f"unknown key {key!r} in [{section.name}] — valid keys: {valid}. "
+                f"Strategy kwargs (n_qmc, pool_size, ...) belong in [METHOD], "
+                f"dataset loader kwargs in [DATA]."
+            )
+        setattr(obj, key, _coerce(raw))
 
 
 def load_config(path: Optional[str] = None, overrides: tuple[str, ...] = ()) -> ExperimentConfig:
     """Read an .ini experiment config and apply ``SECTION.key=value`` overrides.
 
-    Sections: ``[EXPERIMENT]`` (runner knobs + unknown keys become
-    ``method_kwargs``), ``[GP]``, ``[USER]``, ``[DATA]`` (dataset loader
-    kwargs), ``[METHOD]`` (strategy kwargs).
+    Sections: ``[EXPERIMENT]`` (runner knobs — unknown keys are a hard error,
+    so typos can't silently leak into strategy kwargs), ``[GP]``, ``[USER]``,
+    ``[DATA]`` (dataset loader kwargs), ``[METHOD]`` (strategy kwargs).
     """
     cfg = ExperimentConfig()
     parser = configparser.ConfigParser()
@@ -118,11 +121,11 @@ def load_config(path: Optional[str] = None, overrides: tuple[str, ...] = ()) -> 
         parser.set(section, key, value)
 
     if parser.has_section("EXPERIMENT"):
-        _apply_section(cfg, parser["EXPERIMENT"], cfg.method_kwargs)
+        _apply_section(cfg, parser["EXPERIMENT"])
     if parser.has_section("GP"):
-        _apply_section(cfg.gp, parser["GP"], {})
+        _apply_section(cfg.gp, parser["GP"])
     if parser.has_section("USER"):
-        _apply_section(cfg.user, parser["USER"], {})
+        _apply_section(cfg.user, parser["USER"])
     if parser.has_section("DATA"):
         for key, raw in parser["DATA"].items():
             cfg.dataset_kwargs[key] = _coerce(raw)

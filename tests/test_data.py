@@ -68,7 +68,8 @@ def test_config_roundtrip(tmp_path):
     ini = tmp_path / "exp.ini"
     ini.write_text(
         "[EXPERIMENT]\ndataset = digits\nmethod = ital\nbatch_size = 4\n"
-        "n_rounds = 7\nn_qmc = 64\n"
+        "n_rounds = 7\n"
+        "[METHOD]\nn_qmc = 64\n"
         "[GP]\nlength_scale = 2.5\ncap = 0\n"
         "[USER]\nlabel_prob = 0.8\n"
         "[DATA]\nnormalize = false\n"
@@ -78,6 +79,15 @@ def test_config_roundtrip(tmp_path):
     assert cfg.n_rounds == 3  # override wins
     assert cfg.gp.noise == 0.25 and cfg.gp.length_scale == 2.5
     assert cfg.user.label_prob == 0.8
-    assert cfg.method_kwargs["n_qmc"] == 64  # unknown EXPERIMENT key -> method kwarg
+    assert cfg.method_kwargs["n_qmc"] == 64  # [METHOD] keys -> strategy kwargs
     assert cfg.dataset_kwargs["normalize"] is False
     assert cfg.cap == 16  # auto: 1 + 3*4 = 13 -> padded to 16
+
+
+def test_config_unknown_experiment_key_fails_fast(tmp_path):
+    """A typo'd runner knob must not silently become a strategy kwarg (it used
+    to surface as a confusing TypeError deep inside the jitted selector)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown key 'n_repetitions'"):
+        load_config(None, ("EXPERIMENT.n_repetitions=5",))
