@@ -1,5 +1,10 @@
 """Device-mesh parallelism: sharded corpus, collective MI scan, ICI reductions."""
 
+from ital_tpu.parallel.chol2d import (  # noqa: F401
+    make_sharded_cho_solve,
+    make_sharded_cholesky,
+    make_sharded_whiten,
+)
 from ital_tpu.parallel.mesh import make_mesh  # noqa: F401
 from ital_tpu.parallel.sharded import (  # noqa: F401
     make_sharded_density,
