@@ -210,6 +210,17 @@ def _run_session(
                 state, k_user, batch, relevant, exclude, label_prob, mistake_prob
             )
             ap.block_until_ready()
+        if cfg.gp.learn_every and (rnd + 1) % cfg.gp.learn_every == 0:
+            # Online type-II ML: re-learn hyperparameters from this session's
+            # labels so far, then refit the posterior (models/hyperopt.py).
+            from ital_tpu.models.hyperopt import fit_hyperparams
+
+            hyper = fit_hyperparams(
+                state.x[state.idx], state.y, state.active, state.hyper,
+                steps=cfg.gp.learn_steps, lr=cfg.gp.learn_lr,
+                learn_noise=cfg.gp.learn_noise,
+            )
+            state = gp_mod.gp_fit(state.replace(hyper=hyper))
         curve.append(float(ap))
         logger.log(
             rep=rep, cls=c, query=q, round=rnd, ap=float(ap),
@@ -217,6 +228,10 @@ def _run_session(
             labeled=int(np.asarray(state.active).sum()),
             device_mem_mb=round(device_mem_mb(), 1),
             **{f"recall@{k}": float(r) for k, r in zip(RECALL_KS, np.asarray(recalls))},
+            **({"length_scale": round(float(state.hyper.length_scale), 4),
+                "gp_var": round(float(state.hyper.var), 4),
+                "gp_noise": round(float(state.hyper.noise), 4)}
+               if cfg.gp.learn_every else {}),
         )
         if ckpt_path:
             ckpt.save_session(

@@ -20,6 +20,13 @@ class GPConfig:
     var: float = 1.0
     noise: float = 0.1
     cap: int = 64  # labeled-slot capacity; 0 = auto (1 + n_rounds * batch_size)
+    # Online type-II ML (models/hyperopt.py): re-learn hyperparameters from the
+    # session's labels every ``learn_every`` feedback rounds (0 = fixed, the
+    # reference behavior), then refit the posterior.  Serial runner path only.
+    learn_every: int = 0
+    learn_steps: int = 50
+    learn_lr: float = 0.05
+    learn_noise: bool = True
 
 
 @dataclasses.dataclass

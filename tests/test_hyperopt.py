@@ -1,0 +1,107 @@
+"""GP hyperparameter learning: MLL correctness + ascent recovery + runner hook."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ital_tpu.models.gp import GPHyper
+from ital_tpu.models.hyperopt import fit_hyperparams, log_marginal_likelihood
+
+
+def _hyper(ls, var, noise):
+    return GPHyper(
+        length_scale=jnp.asarray(ls, jnp.float32),
+        var=jnp.asarray(var, jnp.float32),
+        noise=jnp.asarray(noise, jnp.float32),
+    )
+
+
+def test_mll_matches_dense_numpy(rng):
+    """Padded MLL == textbook formula on the active principal block."""
+    cap, d, n_act = 12, 3, 7
+    xl = rng.normal(size=(cap, d)).astype(np.float32)
+    y = rng.choice([-1.0, 1.0], size=cap).astype(np.float32)
+    active = np.zeros(cap, bool)
+    active[rng.choice(cap, size=n_act, replace=False)] = True
+    ls, var, noise = 1.5, 0.8, 0.2
+
+    ours = float(
+        log_marginal_likelihood(
+            jnp.asarray(xl), jnp.asarray(y), jnp.asarray(active),
+            _hyper(ls, var, noise),
+        )
+    )
+
+    xa, ya = xl[active], y[active]
+    d2 = ((xa[:, None] - xa[None, :]) ** 2).sum(-1)
+    k = var * np.exp(-d2 / (2 * ls**2)) + noise * np.eye(n_act)
+    sign, logdet = np.linalg.slogdet(k)
+    ref = -0.5 * (
+        ya @ np.linalg.solve(k, ya) + logdet + n_act * np.log(2 * np.pi)
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_ascent_improves_mll_and_recovers_scale(rng):
+    """Data drawn from a known-ls GP: ascent raises MLL and moves ls toward it."""
+    cap, d, n_act, true_ls = 32, 2, 28, 2.0
+    xl = rng.normal(size=(cap, d)).astype(np.float32) * 3.0
+    d2 = ((xl[:n_act, None] - xl[None, :n_act]) ** 2).sum(-1)
+    k = np.exp(-d2 / (2 * true_ls**2)) + 0.05 * np.eye(n_act)
+    y = np.zeros(cap, np.float32)
+    y[:n_act] = np.linalg.cholesky(k) @ rng.normal(size=n_act)
+    active = np.arange(cap) < n_act
+
+    h0 = _hyper(0.4, 1.0, 0.3)  # deliberately bad init
+    args = (jnp.asarray(xl), jnp.asarray(y), jnp.asarray(active))
+    h1 = fit_hyperparams(*args, h0, steps=120, lr=0.08)
+
+    mll0 = float(log_marginal_likelihood(*args, h0))
+    mll1 = float(log_marginal_likelihood(*args, h1))
+    assert mll1 > mll0 + 1.0, (mll0, mll1)
+    ls1 = float(h1.length_scale)
+    assert abs(np.log(ls1 / true_ls)) < abs(np.log(0.4 / true_ls)), ls1
+    assert float(h1.noise) > 0.0 and float(h1.var) > 0.0
+
+
+def test_learn_noise_false_pins_noise(rng):
+    cap, d = 16, 2
+    xl = rng.normal(size=(cap, d)).astype(np.float32)
+    y = rng.choice([-1.0, 1.0], size=cap).astype(np.float32)
+    active = np.ones(cap, bool)
+    h0 = _hyper(1.0, 1.0, 0.17)
+    h1 = fit_hyperparams(
+        jnp.asarray(xl), jnp.asarray(y), jnp.asarray(active), h0,
+        steps=40, lr=0.1, learn_noise=False,
+    )
+    assert float(h1.noise) == np.float32(0.17)
+
+
+def test_runner_learns_hyperparams(tmp_path):
+    """GP.learn_every wired through the serial harness: runs, finite, hypers move."""
+    import json
+
+    from ital_tpu.runner import run_experiment
+    from ital_tpu.utils.config import ExperimentConfig, GPConfig, UserConfig
+
+    log = tmp_path / "rounds.jsonl"
+    cfg = ExperimentConfig(
+        dataset="toy",
+        dataset_kwargs={"n_per_class": 40, "n_classes": 3, "seed": 0},
+        method="ital",
+        method_kwargs={"n_qmc": 32},
+        batch_size=2,
+        n_rounds=4,
+        repetitions=1,
+        queries_per_class=1,
+        max_classes=1,
+        gp=GPConfig(length_scale=1.0, var=1.0, noise=0.1, cap=16,
+                    learn_every=2, learn_steps=20, learn_lr=0.05),
+        user=UserConfig(label_prob=1.0, mistake_prob=0.0),
+        log_jsonl=str(log),
+    )
+    res = run_experiment(cfg)
+    assert np.isfinite(res["map"]).all()
+    rows = [json.loads(ln) for ln in log.read_text().splitlines()]
+    assert "length_scale" in rows[-1]
+    # After the round-2 re-learn the hyperparameters must have moved.
+    assert rows[-1]["length_scale"] != 1.0 or rows[-1]["gp_noise"] != 0.1
