@@ -709,3 +709,109 @@ def make_sharded_session(
         return fn(state, skey, relevant, sel_forbid, ap_exclude, params)
 
     return jax.jit(session)
+
+
+# ---------------------------------------------------------------------------
+# Sharded cohorts: query_batch x fused_sessions x mesh_devices composed
+# ---------------------------------------------------------------------------
+
+
+def _cohort_state_axes() -> GPState:
+    """vmap axes for a cohort of sessions sharing one corpus shard: every
+    per-session leaf batches on axis 0; the shard's feature rows, density and
+    the (scalar) hyperparameters are shared."""
+    return GPState(
+        x=None, idx=0, y=0, valid=0, count=0, l=0, beta=0, v=0, mu=0, sig2=0,
+        hyper=gp_mod.GPHyper(length_scale=None, var=None, noise=None),
+        density=None,
+    )
+
+
+def cohort_pspecs(state: GPState) -> GPState:
+    """PartitionSpecs for a session-batched GPState: corpus axes shift one
+    position right of the leading cohort axis; ``x``/``density`` stay
+    unbatched (shared across the cohort)."""
+    ax = CORPUS_AXIS
+    return GPState(
+        x=P(ax, None),
+        idx=P(), y=P(), valid=P(), count=P(),
+        l=P(), beta=P(),
+        v=P(None, None, ax),
+        mu=P(None, ax), sig2=P(None, ax),
+        hyper=gp_mod.GPHyper(length_scale=P(), var=P(), noise=P()),
+        density=None if state.density is None else P(ax),
+    )
+
+
+def shard_cohort_state(state: GPState, mesh) -> GPState:
+    """Lay a session-batched state out over the mesh (cohort axis replicated,
+    corpus axis sharded)."""
+    specs = cohort_pspecs(state)
+    return jax.tree.map(
+        lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
+        state, specs,
+    )
+
+
+def make_sharded_cohort(
+    mesh,
+    *,
+    strategy: str = "ital",
+    batch_size: int = 4,
+    n_rounds: int = 10,
+    n_qmc: int = 128,
+    pool_size: int = 0,
+):
+    """COHORT of fused sessions on the mesh: ``query_batch`` retrieval sessions,
+    each running ALL ``n_rounds`` of feedback, in ONE device program.
+
+    This composes every throughput axis the framework has: the corpus is
+    sharded over the mesh (data parallelism, ICI collectives), the rounds are
+    fused into a ``fori_loop`` (one dispatch + one host sync per cohort), and
+    the session axis is a ``vmap`` INSIDE the ``shard_map`` — XLA batches the
+    per-round collectives (psum gathers, collective argmax, all_gather
+    ranking) across the cohort, so cross-chip latency is paid once per round
+    for the whole cohort rather than once per session.
+
+    Returns ``cohort_fn(state_batched, skeys (K,), relevant (K, N),
+    sel_forbid (N,), ap_exclude (K, N), params) -> (state_batched,
+    aps (K, n_rounds))``.  Per-session key derivation matches the serial and
+    per-round sharded paths (``fold_in(skey, round)``), so each session's
+    curve equals its individually-run counterpart (tested).
+    """
+    _check_mi_batch(strategy, batch_size)
+    inner_round = _make_round_body(
+        mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=()
+    )
+
+    def _session(state, skey, relevant, sel_forbid, ap_exclude, params):
+        def body(rnd, carry):
+            st, aps = carry
+            rkey = jax.random.fold_in(skey, rnd)
+            st, _batch, ap, _ = inner_round(
+                st, rkey, relevant, sel_forbid, ap_exclude, params
+            )
+            return st, aps.at[rnd].set(ap)
+
+        aps0 = jnp.zeros((n_rounds,), state.mu.dtype)
+        return jax.lax.fori_loop(0, n_rounds, body, (state, aps0))
+
+    axes = _cohort_state_axes()
+    _cohort_local = jax.vmap(
+        _session,
+        in_axes=(axes, 0, 0, None, 0, None),
+        out_axes=(axes, 0),
+    )
+
+    def cohort(state, skeys, relevant, sel_forbid, ap_exclude, params):
+        specs = cohort_pspecs(state)
+        fn = jax.shard_map(
+            _cohort_local,
+            mesh=mesh,
+            in_specs=(specs, P(), P(), P(), P(), _PARAM_PSPECS),
+            out_specs=(specs, P()),
+            check_vma=False,
+        )
+        return fn(state, skeys, relevant, sel_forbid, ap_exclude, params)
+
+    return jax.jit(cohort)

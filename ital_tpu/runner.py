@@ -88,9 +88,6 @@ def run_experiment(
         dataset = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
     _check_capacity(cfg)
     if cfg.mesh_devices:
-        if cfg.query_batch > 1:
-            print("# query_batch is not implemented for the sharded path "
-                  "(sessions share the corpus mesh); running sessions serially")
         return run_experiment_sharded(cfg, dataset)
     if cfg.query_batch and cfg.query_batch > 1:
         return run_experiment_vmapped(cfg, dataset)
@@ -552,6 +549,76 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
     if fused and (cfg.checkpoint_dir or cfg.resume):
         print("# fused_sessions runs each session as one device program; "
               "checkpoint_dir/resume are per-round features and are ignored")
+
+    qb = int(cfg.query_batch or 0)
+    if qb > 1:
+        # Cohort mode on the mesh: query_batch x fused_sessions x mesh_devices
+        # composed — K sessions x ALL rounds per dispatch, collectives batched
+        # across the cohort (parallel/sharded.py::make_sharded_cohort).
+        from ital_tpu.parallel.sharded import (
+            _cohort_state_axes, make_sharded_cohort, shard_cohort_state,
+        )
+
+        if not fused:
+            print("# sharded cohorts run fused (all rounds in one device "
+                  "program); per-round JSONL granularity is traded away")
+        cohort_fn = make_sharded_cohort(
+            mesh,
+            strategy=cfg.method,
+            batch_size=cfg.batch_size,
+            n_rounds=cfg.n_rounds,
+            n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
+            pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
+        )
+        set_query_v = jax.jit(
+            jax.vmap(gp_mod.gp_set_query, in_axes=(None, 0),
+                     out_axes=_cohort_state_axes())
+        )
+        plan = _session_plan(cfg, dataset)
+        logger = JsonlLogger(cfg.log_jsonl)
+        timer = Timer()
+        sessions, ap_curves = [], []
+        for chunk_start in range(0, len(plan), qb):
+            chunk = plan[chunk_start : chunk_start + qb]
+            # Pad the last chunk by repeating its first session (discarded).
+            padded = chunk + [chunk[0]] * (qb - len(chunk))
+            qs = jnp.asarray([q for _, _, q, _ in padded], jnp.int32)
+            relevant = jnp.asarray(np.stack(
+                [np.pad(dataset.relevance[:, c], (0, n_pad - n_real))
+                 for _, c, _, _ in padded]
+            ))
+            ap_exclude = jnp.stack(
+                [make_masks(n_pad, n_real, int(q))[1] for _, _, q, _ in padded]
+            )
+            skeys = jnp.stack([sk for *_, sk in padded])
+            stateb = shard_cohort_state(set_query_v(state0, qs), mesh)
+            with timer.span("cohort"):
+                _, aps = cohort_fn(
+                    stateb, skeys, relevant, pad_mask, ap_exclude, params
+                )
+                aps = np.asarray(aps)  # the one host sync per cohort
+            for j, (rep, c, q, _) in enumerate(chunk):
+                curve = [float(v) for v in aps[j]]
+                logger.log(rep=rep, cls=c, query=q, ap_curve=curve,
+                           cohort_ms=timer.ms("cohort"), sharded=n_dev,
+                           query_batch=qb)
+                ap_curves.append(curve)
+                sessions.append({"rep": rep, "cls": c, "query": q})
+        logger.close()
+        ap = np.asarray(ap_curves)
+        return {
+            "ap": ap,
+            "map": ap.mean(axis=0) if ap.size else np.zeros(cfg.n_rounds),
+            "select_ms": timer.ms("cohort") / max(cfg.n_rounds, 1),
+            "update_ms": 0.0,
+            "sessions": sessions,
+            "dataset": dataset.name,
+            "method": cfg.method,
+            "mesh_devices": n_dev,
+            "query_batch": qb,
+            "fused": True,
+        }
+
     if fused:
         from ital_tpu.parallel.sharded import make_sharded_session
 

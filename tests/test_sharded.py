@@ -416,3 +416,84 @@ def test_sharded_fused_session_matches_per_round():
         np.asarray(state_f.mu), np.asarray(state_r.mu), atol=1e-5
     )
     assert int(state_f.count) == 1 + n_rounds * batch_size
+
+
+def test_sharded_cohort_matches_per_session():
+    """make_sharded_cohort (query_batch x fused x mesh) == the fused sharded
+    session run individually, session for session.
+
+    Posteriors are warmed (CLAUDE.md MI-ties note): the cohort's batched
+    matmuls reduce in a different order than the unbatched session's, so
+    near-tied MI argmaxes on a cold posterior can legitimately flip."""
+    from ital_tpu.parallel.sharded import (
+        make_sharded_cohort,
+        make_sharded_session,
+        shard_cohort_state,
+    )
+
+    ds, mesh, state0, _, _, sel_forbid, _, params = _setup()
+    n_pad = state0.x.shape[0]
+    n_real = ds.n
+    n_rounds, batch_size = 3, 2
+    queries = [4, 100]
+    keys = [jax.random.fold_in(jax.random.PRNGKey(3), i) for i in range(2)]
+    rels = [
+        jnp.asarray(np.pad(ds.relevance[:, int(ds.labels[q])],
+                           (0, n_pad - n_real)))
+        for q in queries
+    ]
+    warmed = [_warmed(state0, ds, q) for q in queries]
+
+    session_fn = make_sharded_session(
+        mesh, strategy="ital", batch_size=batch_size, n_rounds=n_rounds, n_qmc=32
+    )
+    ref = []
+    for st0, q, rel, key in zip(warmed, queries, rels, keys):
+        _, ae = make_masks(n_pad, n_real, q)
+        _, aps = session_fn(
+            shard_state(st0, mesh), key, rel, sel_forbid, ae, params
+        )
+        ref.append(np.asarray(aps))
+
+    cohort_fn = make_sharded_cohort(
+        mesh, strategy="ital", batch_size=batch_size, n_rounds=n_rounds, n_qmc=32
+    )
+    # Stack the per-session leaves into one cohort state (x/hyper shared).
+    stateb = warmed[0].replace(
+        **{f: jnp.stack([getattr(s, f) for s in warmed])
+           for f in ("idx", "y", "valid", "count", "l", "beta", "v", "mu",
+                     "sig2")}
+    )
+    stateb = shard_cohort_state(stateb, mesh)
+    ap_exclude = jnp.stack([make_masks(n_pad, n_real, q)[1] for q in queries])
+    _, aps = cohort_fn(
+        stateb, jnp.stack(keys), jnp.stack(rels), sel_forbid, ap_exclude, params
+    )
+    np.testing.assert_allclose(np.asarray(aps), np.stack(ref), atol=1e-5)
+
+
+def test_sharded_cohort_runner_path():
+    """EXPERIMENT.query_batch x mesh_devices through run_experiment: same MAP
+    as the per-session sharded runner under identical seeds."""
+    from ital_tpu.runner import run_experiment
+    from ital_tpu.utils.config import ExperimentConfig, GPConfig, UserConfig
+
+    common = dict(
+        dataset="toy",
+        dataset_kwargs={"n_per_class": 70, "n_classes": 3, "dim": 2, "seed": 2},
+        method="ital",
+        method_kwargs={"n_qmc": 32},
+        batch_size=2,
+        n_rounds=2,
+        repetitions=1,
+        queries_per_class=1,
+        max_classes=2,
+        seed=1,
+        gp=GPConfig(length_scale=3.0, var=1.0, noise=0.1, cap=8),
+        user=UserConfig(label_prob=0.9, mistake_prob=0.05),
+        mesh_devices=8,
+    )
+    serial = run_experiment(ExperimentConfig(**common))
+    cohort = run_experiment(ExperimentConfig(**common, query_batch=2))
+    assert cohort.get("query_batch") == 2 and cohort.get("fused") is True
+    np.testing.assert_allclose(cohort["ap"], serial["ap"], atol=1e-5)
