@@ -21,7 +21,6 @@ rounds from the labels collected so far, then refit the posterior).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -55,11 +54,6 @@ def log_marginal_likelihood(
     logdet = 2.0 * jnp.sum(jnp.where(active, jnp.log(jnp.diagonal(l)), 0.0))
     n = jnp.sum(active).astype(y.dtype)
     return -0.5 * (quad + logdet + n * _LOG2PI)
-
-
-class _OptState(NamedTuple):
-    theta: jax.Array  # (3,) log(length_scale), log(var), log(noise)
-    opt_state: tuple
 
 
 @functools.partial(

@@ -344,28 +344,37 @@ def _sharded_batch_max_sim(state: GPState, batch: jax.Array, t: int) -> jax.Arra
 
 
 def _sharded_diversity_scores(
-    state: GPState, batch: jax.Array, t: int, base: jax.Array, weight: jax.Array
+    state: GPState, batch: jax.Array, t: int, base: jax.Array,
+    weight: jax.Array, sim_lab: jax.Array,
 ) -> jax.Array:
-    """Sharded mirror of ``baselines._diversity_greedy``'s per-step score."""
-    s = base - weight * jnp.maximum(_sharded_max_sim_to_labeled(state), 0.0)
+    """Sharded mirror of ``baselines._diversity_greedy``'s per-step score.
+
+    ``sim_lab`` is the labeled-similarity vector, computed ONCE per round by
+    the caller (it is invariant across greedy steps; recomputing it per step
+    would repeat its collective gather, which XLA cannot CSE across
+    shard_map channel ids).
+    """
+    s = base - weight * sim_lab
     if t > 0:
         s = s - weight * _sharded_batch_max_sim(state, batch, t)
     return s
 
 
 def _sharded_rbmal_scores(
-    state: GPState, batch: jax.Array, t: int, n_corpus: jax.Array
+    state: GPState, batch: jax.Array, t: int, n_corpus: jax.Array,
+    sim_lab: jax.Array,
 ) -> jax.Array:
     """Sharded RBMAL step score (mirror of ``baselines.select_rbmal``).
 
     ``n_corpus`` is the number of REAL corpus rows (rows flagged in the
     caller's forbid mask — e.g. shard padding — are treated as outside the
     corpus for the |U| / (|U| + |L|) trade-off, matching the single-device
-    run on the unpadded corpus).
+    run on the unpadded corpus).  ``sim_lab`` is hoisted by the caller as in
+    :func:`_sharded_diversity_scores`.
     """
     n_lab = jnp.sum(state.active.astype(jnp.int32))  # buffers replicated
     unc = 1.0 - jnp.abs(jnp.tanh(state.mu))
-    sim = jnp.maximum(_sharded_max_sim_to_labeled(state), 0.0)
+    sim = sim_lab
     if t > 0:
         sim = jnp.maximum(sim, _sharded_batch_max_sim(state, batch, t))
     alpha = (n_corpus - n_lab - t) / n_corpus.astype(state.mu.dtype)
@@ -548,6 +557,15 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks):
         neg = jnp.asarray(-jnp.inf, state.mu.dtype)
         from ital_tpu.select.baselines import _density
 
+        # Hoist greedy-step invariants: the labeled-similarity collective and
+        # the diversity base depend only on ``state``, which is fixed during
+        # selection — one gather per round, not one per step (the
+        # single-device mirrors hoist the same way).
+        if strategy in _DIVERSITY_BASES or strategy == "rbmal":
+            sim_lab = jnp.maximum(_sharded_max_sim_to_labeled(state), 0.0)
+        if strategy in _DIVERSITY_BASES:
+            div_base = _DIVERSITY_BASES[strategy](state, _density(state))
+
         for t in range(batch_size):
             if strategy == "ital":
                 scores = _sharded_ital_scores(state, batch, t, params, n_qmc)
@@ -560,12 +578,13 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks):
             elif strategy == "mcmi_min":
                 scores = _sharded_mcmi_scores(state, params, pad_local) if t == 0 else scores
             elif strategy in _DIVERSITY_BASES:
-                base = _DIVERSITY_BASES[strategy](state, _density(state))
                 scores = _sharded_diversity_scores(
-                    state, batch, t, base, params.tradeoff
+                    state, batch, t, div_base, params.tradeoff, sim_lab
                 )
             elif strategy == "rbmal":
-                scores = _sharded_rbmal_scores(state, batch, t, n_corpus)
+                scores = _sharded_rbmal_scores(
+                    state, batch, t, n_corpus, sim_lab
+                )
             else:
                 scores = _local_score_fn(strategy, mesh.size)(state, k_sel, params)
             scores = jnp.where(forbid, neg, scores)
@@ -684,18 +703,7 @@ def make_sharded_session(
     inner_round = _make_round_body(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=()
     )
-
-    def _session(state, skey, relevant, sel_forbid, ap_exclude, params):
-        def body(rnd, carry):
-            state, aps = carry
-            rkey = jax.random.fold_in(skey, rnd)
-            state, _batch, ap, _ = inner_round(
-                state, rkey, relevant, sel_forbid, ap_exclude, params
-            )
-            return state, aps.at[rnd].set(ap)
-
-        aps0 = jnp.zeros((n_rounds,), state.mu.dtype)
-        return jax.lax.fori_loop(0, n_rounds, body, (state, aps0))
+    _session = _fused_session_body(inner_round, n_rounds)
 
     def session(state, skey, relevant, sel_forbid, ap_exclude, params):
         specs = state_pspecs(state)
@@ -709,6 +717,27 @@ def make_sharded_session(
         return fn(state, skey, relevant, sel_forbid, ap_exclude, params)
 
     return jax.jit(session)
+
+
+def _fused_session_body(inner_round, n_rounds: int):
+    """Shared fused-session body: ``fori_loop`` over rounds with
+    ``fold_in(skey, round)`` key derivation — the ONE place the per-round key
+    and AP accumulation are defined for both the fused-session and cohort
+    entry points (their tested 'identical curves' invariant depends on it)."""
+
+    def _session(state, skey, relevant, sel_forbid, ap_exclude, params):
+        def body(rnd, carry):
+            st, aps = carry
+            rkey = jax.random.fold_in(skey, rnd)
+            st, _batch, ap, _ = inner_round(
+                st, rkey, relevant, sel_forbid, ap_exclude, params
+            )
+            return st, aps.at[rnd].set(ap)
+
+        aps0 = jnp.zeros((n_rounds,), state.mu.dtype)
+        return jax.lax.fori_loop(0, n_rounds, body, (state, aps0))
+
+    return _session
 
 
 # ---------------------------------------------------------------------------
@@ -783,22 +812,9 @@ def make_sharded_cohort(
     inner_round = _make_round_body(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=()
     )
-
-    def _session(state, skey, relevant, sel_forbid, ap_exclude, params):
-        def body(rnd, carry):
-            st, aps = carry
-            rkey = jax.random.fold_in(skey, rnd)
-            st, _batch, ap, _ = inner_round(
-                st, rkey, relevant, sel_forbid, ap_exclude, params
-            )
-            return st, aps.at[rnd].set(ap)
-
-        aps0 = jnp.zeros((n_rounds,), state.mu.dtype)
-        return jax.lax.fori_loop(0, n_rounds, body, (state, aps0))
-
     axes = _cohort_state_axes()
     _cohort_local = jax.vmap(
-        _session,
+        _fused_session_body(inner_round, n_rounds),
         in_axes=(axes, 0, 0, None, 0, None),
         out_axes=(axes, 0),
     )

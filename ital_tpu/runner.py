@@ -13,6 +13,7 @@ are derived by ``fold_in`` so runs are deterministic and resumable mid-way.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Any, Dict, Optional
 
 import jax
@@ -87,6 +88,13 @@ def run_experiment(
     if dataset is None:
         dataset = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
     _check_capacity(cfg)
+    if cfg.gp.learn_every and (
+        cfg.mesh_devices or (cfg.query_batch and cfg.query_batch > 1)
+        or cfg.fused_sessions
+    ):
+        print("# GP.learn_every (online hyperparameter learning) is a "
+              "serial-mode feature and is ignored on the sharded/vmapped/"
+              "fused paths")
     if cfg.mesh_devices:
         return run_experiment_sharded(cfg, dataset)
     if cfg.query_batch and cfg.query_batch > 1:
@@ -341,14 +349,16 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
 
         state = set_query_v(state0, qs)
         if cfg.fused_sessions:
+            t0 = time.perf_counter()
             with timer.span("round"):
                 _, aps = fused_v(state, skeys, relevant, exclude, params)
                 aps = np.asarray(aps)  # (qb, n_rounds); the one host sync
+            chunk_ms = 1e3 * (time.perf_counter() - t0)  # THIS chunk's time
             ap_rows[chunk_start : chunk_start + k] = aps[:k]
             for j, (rep, c, q, _) in enumerate(chunk):
                 logger.log(rep=rep, cls=c, query=q,
                            ap_curve=[float(v) for v in aps[j]],
-                           cohort_ms=timer.ms("round"), query_batch=qb)
+                           cohort_ms=round(chunk_ms, 3), query_batch=qb)
             continue
         for rnd in range(cfg.n_rounds):
             rkeys = jax.vmap(lambda sk: jax.random.fold_in(sk, rnd))(skeys)
@@ -592,15 +602,17 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             )
             skeys = jnp.stack([sk for *_, sk in padded])
             stateb = shard_cohort_state(set_query_v(state0, qs), mesh)
+            t0 = time.perf_counter()
             with timer.span("cohort"):
                 _, aps = cohort_fn(
                     stateb, skeys, relevant, pad_mask, ap_exclude, params
                 )
                 aps = np.asarray(aps)  # the one host sync per cohort
+            chunk_ms = 1e3 * (time.perf_counter() - t0)  # THIS chunk's time
             for j, (rep, c, q, _) in enumerate(chunk):
                 curve = [float(v) for v in aps[j]]
                 logger.log(rep=rep, cls=c, query=q, ap_curve=curve,
-                           cohort_ms=timer.ms("cohort"), sharded=n_dev,
+                           cohort_ms=round(chunk_ms, 3), sharded=n_dev,
                            query_batch=qb)
                 ap_curves.append(curve)
                 sessions.append({"rep": rep, "cls": c, "query": q})

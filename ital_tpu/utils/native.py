@@ -25,7 +25,9 @@ def _source_path() -> Optional[str]:
         from importlib import resources
 
         p = resources.files("ital_tpu").joinpath("native/mvndst.cpp")
-        if p.is_file():
+        # str(p) must be a REAL on-disk path (g++ and getmtime consume it);
+        # under zipped installs is_file() can be True for an in-zip resource.
+        if p.is_file() and os.path.exists(str(p)):
             return str(p)
     except Exception:
         pass

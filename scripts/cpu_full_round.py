@@ -91,7 +91,9 @@ def main() -> int:
         _score_one(task)
     serial_s = time.perf_counter() - t0
     nproc = os.cpu_count() or 1
-    with mp.Pool(nproc) as pool:
+    # fork explicitly: workers read the module-global _GP, which spawn/
+    # forkserver start methods (macOS default, py>=3.14 Linux) don't inherit.
+    with mp.get_context("fork").Pool(nproc) as pool:
         t0 = time.perf_counter()
         pool.map(_score_one, tasks, chunksize=16)
         pool_s = time.perf_counter() - t0
