@@ -89,12 +89,11 @@ def run_experiment(
         dataset = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
     _check_capacity(cfg)
     if cfg.gp.learn_every and (
-        cfg.mesh_devices or (cfg.query_batch and cfg.query_batch > 1)
-        or cfg.fused_sessions
+        (cfg.query_batch and cfg.query_batch > 1) or cfg.fused_sessions
     ):
         print("# GP.learn_every (online hyperparameter learning) is a "
-              "serial-mode feature and is ignored on the sharded/vmapped/"
-              "fused paths")
+              "per-round feature and is ignored on the vmapped/fused/cohort "
+              "paths (supported: serial and per-round sharded)")
     if cfg.mesh_devices:
         return run_experiment_sharded(cfg, dataset)
     if cfg.query_batch and cfg.query_batch > 1:
@@ -706,6 +705,22 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
                             state, rkey, relevant, sel_forbid, ap_exclude, params
                         )
                         ap.block_until_ready()
+                    if cfg.gp.learn_every and (rnd + 1) % cfg.gp.learn_every == 0:
+                        # Same online type-II ML as the serial path: the
+                        # labeled buffers are replicated and x's rows
+                        # auto-gather under jit, so fit_hyperparams/gp_fit run
+                        # directly on the sharded state; re-shard the refit
+                        # output to the round_fn's expected layout.
+                        from ital_tpu.models.hyperopt import fit_hyperparams
+
+                        hyper = fit_hyperparams(
+                            state.x[state.idx], state.y, state.active,
+                            state.hyper, steps=cfg.gp.learn_steps,
+                            lr=cfg.gp.learn_lr, learn_noise=cfg.gp.learn_noise,
+                        )
+                        state = shard_state(
+                            gp_mod.gp_fit(state.replace(hyper=hyper)), mesh
+                        )
                     curve.append(float(ap))
                     logger.log(
                         rep=rep, cls=c, query=q, round=rnd, ap=float(ap),
@@ -713,6 +728,10 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
                         labeled=int(np.asarray(state.active).sum()),
                         **{f"recall@{k}": float(r)
                            for k, r in zip(RECALL_KS, np.asarray(recalls))},
+                        **({"length_scale": round(float(state.hyper.length_scale), 4),
+                            "gp_var": round(float(state.hyper.var), 4),
+                            "gp_noise": round(float(state.hyper.noise), 4)}
+                           if cfg.gp.learn_every else {}),
                     )
                     if ckpt_path:
                         ckpt.save_session(

@@ -22,7 +22,9 @@ class GPConfig:
     cap: int = 64  # labeled-slot capacity; 0 = auto (1 + n_rounds * batch_size)
     # Online type-II ML (models/hyperopt.py): re-learn hyperparameters from the
     # session's labels every ``learn_every`` feedback rounds (0 = fixed, the
-    # reference behavior), then refit the posterior.  Serial runner path only.
+    # reference behavior), then refit the posterior.  Supported on the serial
+    # and per-round sharded paths; ignored (with a notice) on vmapped/fused/
+    # cohort modes.
     learn_every: int = 0
     learn_steps: int = 50
     learn_lr: float = 0.05

@@ -105,3 +105,41 @@ def test_runner_learns_hyperparams(tmp_path):
     assert "length_scale" in rows[-1]
     # After the round-2 re-learn the hyperparameters must have moved.
     assert rows[-1]["length_scale"] != 1.0 or rows[-1]["gp_noise"] != 0.1
+
+
+def test_sharded_runner_learns_hyperparams(tmp_path):
+    """GP.learn_every on the per-round sharded path: the learned
+    hyperparameter trajectory matches the serial path (the labeled buffers
+    are replicated, so learning sees identical data)."""
+    import json
+
+    from ital_tpu.runner import run_experiment
+    from ital_tpu.utils.config import ExperimentConfig, GPConfig, UserConfig
+
+    logs = {}
+    for mode, mesh in (("serial", 0), ("sharded", 8)):
+        log = tmp_path / f"{mode}.jsonl"
+        cfg = ExperimentConfig(
+            dataset="toy",
+            dataset_kwargs={"n_per_class": 40, "n_classes": 3, "seed": 0},
+            method="ital",
+            method_kwargs={"n_qmc": 32},
+            batch_size=2,
+            n_rounds=4,
+            repetitions=1,
+            queries_per_class=1,
+            max_classes=1,
+            gp=GPConfig(length_scale=1.0, var=1.0, noise=0.1, cap=16,
+                        learn_every=2, learn_steps=20, learn_lr=0.05),
+            user=UserConfig(label_prob=1.0, mistake_prob=0.0),
+            log_jsonl=str(log),
+            mesh_devices=mesh,
+        )
+        res = run_experiment(cfg)
+        assert np.isfinite(res["map"]).all()
+        logs[mode] = [json.loads(ln) for ln in log.read_text().splitlines()]
+
+    ls_serial = [r["length_scale"] for r in logs["serial"]]
+    ls_sharded = [r["length_scale"] for r in logs["sharded"]]
+    assert ls_sharded[-1] != 1.0  # learning actually ran
+    np.testing.assert_allclose(ls_sharded, ls_serial, rtol=2e-2)
