@@ -242,7 +242,22 @@ def _run_session(
                 ckpt_path, state,
                 extra={"curve": np.asarray(curve), "next_round": rnd + 1},
             )
+        _maybe_inject_fault(rnd)
     return curve
+
+
+def _maybe_inject_fault(rnd: int) -> None:
+    """Fault injection (SURVEY.md section 5): ``ITAL_TPU_FAULT_AFTER_ROUND=r``
+    hard-kills the process (``os._exit``, exit code 17 — no cleanup, no
+    flushing beyond what already happened) after round ``r`` completes.  Used
+    by the crash-resume test to prove ``--resume`` recovers from a real crash,
+    not just a polite early return; available for manual recovery drills."""
+    import os
+
+    fault = os.environ.get("ITAL_TPU_FAULT_AFTER_ROUND")
+    if fault is not None and rnd == int(fault):
+        print(f"# fault injection: dying after round {rnd}", flush=True)
+        os._exit(17)
 
 
 def _session_plan(cfg: ExperimentConfig, dataset: ds_mod.Dataset):

@@ -370,3 +370,59 @@ def test_sharded_fused_sessions_runner_matches_per_round():
     fused = run_experiment(dataclasses.replace(base, fused_sessions=True))
     assert fused["fused"] is True and fused["mesh_devices"] == 4
     np.testing.assert_allclose(fused["ap"], per_round["ap"], atol=1e-5)
+
+
+def test_crash_resume_recovers(tmp_path):
+    """TRUE crash-resume: a subprocess is hard-killed mid-session by the
+    fault-injection hook (runner._maybe_inject_fault, os._exit 17); a resumed
+    run completes the session and its curve equals an uninterrupted run's."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ck = str(tmp_path / "ck")
+    env = {**os.environ,
+           "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": repo}
+
+    def run(extra_env, log_name, resume):
+        log = str(tmp_path / log_name)
+        args = [
+            sys.executable, "run_experiment.py", "configs/toy.ini",
+            "EXPERIMENT.n_rounds=4", "EXPERIMENT.batch_size=2",
+            "EXPERIMENT.max_classes=1", "EXPERIMENT.queries_per_class=1",
+            "DATA.n_per_class=40", "DATA.n_classes=2", "GP.cap=16",
+            f"EXPERIMENT.checkpoint_dir={ck}",
+            f"EXPERIMENT.log_jsonl={log}",
+        ] + (["EXPERIMENT.resume=true"] if resume else [])
+        p = subprocess.run(args, cwd=repo, env={**env, **extra_env},
+                           capture_output=True, text=True, timeout=560)
+        rows = []
+        if os.path.exists(log):
+            rows = [json.loads(ln) for ln in open(log).read().splitlines()]
+        return p, rows
+
+    # Uninterrupted reference (separate checkpoint dir not needed: same seeds).
+    p_ref, ref_rows = run({"ITAL_TPU_NO_CACHE": "1"}, "ref.jsonl", resume=False)
+    assert p_ref.returncode == 0, p_ref.stderr[-2000:]
+    ref_curve = [r["ap"] for r in ref_rows if "ap" in r]
+
+    # Crash after round 1 (rounds 0,1 logged + checkpointed, then SIGKILL-like
+    # os._exit).  Fresh checkpoint dir state: same dir, will be overwritten.
+    import shutil
+    shutil.rmtree(ck, ignore_errors=True)
+    p_crash, crash_rows = run(
+        {"ITAL_TPU_FAULT_AFTER_ROUND": "1", "ITAL_TPU_NO_CACHE": "1"},
+        "crash.jsonl", resume=False,
+    )
+    assert p_crash.returncode == 17, (p_crash.returncode, p_crash.stderr[-800:])
+    assert len([r for r in crash_rows if "ap" in r]) == 2  # rounds 0, 1
+
+    # Resume: completes rounds 2..3 from the round-1 checkpoint.
+    p_res, res_rows = run({"ITAL_TPU_NO_CACHE": "1"}, "res.jsonl", resume=True)
+    assert p_res.returncode == 0, p_res.stderr[-2000:]
+    res_curve = [r["ap"] for r in res_rows if "ap" in r]
+    assert len(res_curve) == 2  # only the remaining rounds are re-executed
+    np.testing.assert_allclose(res_curve, ref_curve[2:], atol=1e-6)
