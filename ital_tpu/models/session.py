@@ -126,3 +126,34 @@ class ActiveRetrieval:
         st = self.state
         act = np.asarray(st.active)
         return np.asarray(st.idx)[act & (np.asarray(st.y) < 0)]
+
+    # -- beyond-parity surface ---------------------------------------------
+
+    def learn_hyperparams(
+        self,
+        *,
+        steps: int = 50,
+        lr: float = 0.05,
+        learn_noise: bool = True,
+    ) -> Dict[str, float]:
+        """Re-learn GP hyperparameters from this session's labels (type-II ML).
+
+        Ascends the log marginal likelihood of the labeled set
+        (:mod:`ital_tpu.models.hyperopt`) and refits the posterior.  Returns
+        the new hyperparameters.  The reference fixes hyperparameters per
+        dataset; this is the interactive counterpart of the harness's
+        ``GP.learn_every``.
+        """
+        from ital_tpu.models.hyperopt import fit_hyperparams
+
+        st = self.state
+        hyper = fit_hyperparams(
+            st.x[st.idx], st.y, st.active, st.hyper,
+            steps=steps, lr=lr, learn_noise=learn_noise,
+        )
+        self.state = gp_mod.gp_fit(st.replace(hyper=hyper))
+        return {
+            "length_scale": float(hyper.length_scale),
+            "var": float(hyper.var),
+            "noise": float(hyper.noise),
+        }

@@ -135,3 +135,20 @@ def test_batch_size_guard():
     with pytest.raises(ValueError, match="batch_size"):
         make_sharded_round(make_mesh(2), strategy="ital",
                            batch_size=MAX_MI_BATCH + 1)
+
+
+def test_greedy_selection_matches_oracle_b5(rng):
+    """Greedy batch parity at b=5 — exercises the m=5 orthant tree (the
+    largest routinely-used batch; MAX_MI_BATCH=6) with a noisy user model so
+    MI scores stay off the saturated-tie plateau."""
+    state, ogp = _fitted_pair(
+        rng, n=24, labeled=((3, 1.0), (17, -1.0), (9, 1.0), (20, -1.0))
+    )
+    params = StrategyParams(label_prob=jnp.asarray(0.8),
+                            mistake_prob=jnp.asarray(0.1))
+    batch = np.asarray(
+        select_ital(state, 5, jax.random.PRNGKey(0), params, n_qmc=256)
+    )
+    candidates = [i for i in range(24) if i not in (3, 17, 9, 20)]
+    ref_batch = oracle.ital_select(ogp, candidates, 5, 0.8, 0.1)
+    assert list(batch) == ref_batch

@@ -115,3 +115,23 @@ def test_sharded_state_checkpoint_roundtrip(tmp_path):
     # And it can be re-sharded and keep running.
     resharded = shard_state(restored, mesh)
     assert int(resharded.count) == 1
+
+
+def test_session_learn_hyperparams():
+    """Interactive hyperparameter learning: hypers move, ranking stays sane."""
+    import numpy as np
+
+    from ital_tpu.models.session import ActiveRetrieval
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(80, 4)).astype(np.float32)
+    sess = ActiveRetrieval(x, length_scale=0.5, noise=0.3, cap=16)
+    sess.update_query(3)
+    sess.update({10: 1, 20: -1, 30: 1, 40: -1, 50: 1})
+    before = sess.scores().copy()
+    h = sess.learn_hyperparams(steps=40, lr=0.08)
+    assert h["length_scale"] != 0.5 and h["noise"] > 0
+    after = sess.scores()
+    assert np.isfinite(after).all() and not np.allclose(after, before)
+    # Labeled signs are still respected by the refit posterior.
+    assert after[10] > after[20] and after[50] > after[40]
