@@ -131,3 +131,20 @@ def test_indivisible_cap_raises(rng, mesh):
         make_sharded_cholesky(mesh)(
             jnp.asarray(k), jnp.asarray(active), jnp.float32(0.1)
         )
+
+
+def test_sharded_cholesky_large_cap(rng, mesh):
+    """cap=512 on the 8-device mesh — the 'very large labeled set' regime the
+    TP-analog exists for (64-row panels per device), full equality."""
+    cap = 512
+    k = _spd(rng, cap)
+    active = np.ones(cap, bool)
+    active[500:] = False
+    ref = np.asarray(padded_cholesky(jnp.asarray(k), jnp.asarray(active), 0.1))
+    ours = np.asarray(
+        make_sharded_cholesky(mesh)(
+            shard_rows(jnp.asarray(k), mesh), jnp.asarray(active),
+            jnp.float32(0.1),
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=2e-4)

@@ -152,3 +152,50 @@ def test_greedy_selection_matches_oracle_b5(rng):
     candidates = [i for i in range(24) if i not in (3, 17, 9, 20)]
     ref_batch = oracle.ital_select(ogp, candidates, 5, 0.8, 0.1)
     assert list(batch) == ref_batch
+
+
+def test_regression_greedy_matches_dense_logdet_oracle(rng):
+    """C7: the regression MI selector (greedy log-det, select/regression.py)
+    == a dense f64 NumPy oracle doing literal conditional-variance greedy."""
+    from ital_tpu.select.regression import select_ital_regression
+
+    n, d = 26, 3
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    state = gp_mod.gp_init(jnp.asarray(x), LS, VAR, NOISE, 16)
+    lab_idx, lab_y = [2, 11, 19], [0.5, -1.2, 0.3]
+    state = gp_mod.gp_update(
+        state, jnp.asarray(lab_idx, jnp.int32),
+        jnp.asarray(lab_y, jnp.float32), jnp.ones(3, bool),
+    )
+    params = StrategyParams(label_prob=jnp.asarray(1.0),
+                            mistake_prob=jnp.asarray(0.0))
+    batch = list(np.asarray(
+        select_ital_regression(state, 4, jax.random.PRNGKey(0), params)
+    ))
+
+    # Dense f64 oracle: posterior covariance over the corpus, then greedy
+    # conditional-variance argmax with explicit matrix solves.
+    d2 = ((x[:, None].astype(np.float64) - x[None, :].astype(np.float64)) ** 2).sum(-1)
+    k = VAR * np.exp(-d2 / (2 * LS**2))
+    kll = k[np.ix_(lab_idx, lab_idx)] + NOISE * np.eye(3)
+    kl = k[lab_idx]  # (3, N)
+    sigma = k - kl.T @ np.linalg.solve(kll, kl)  # posterior cov (N, N)
+
+    chosen: list = []
+    excluded = set(lab_idx)
+    for _ in range(4):
+        best, best_v = None, -np.inf
+        for c in range(n):
+            if c in excluded:
+                continue
+            if chosen:
+                s_bb = sigma[np.ix_(chosen, chosen)] + NOISE * np.eye(len(chosen))
+                s_cb = sigma[c, chosen]
+                v = sigma[c, c] - s_cb @ np.linalg.solve(s_bb, s_cb)
+            else:
+                v = sigma[c, c]
+            if v > best_v:
+                best, best_v = c, v
+        chosen.append(best)
+        excluded.add(best)
+    assert batch == chosen
