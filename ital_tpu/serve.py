@@ -1,0 +1,255 @@
+"""HTTP serving daemon for interactive retrieval sessions.
+
+The reference is a research harness with no serving stack (SURVEY.md section
+3.5: "there is no serving daemon"); this module is the deployment story the
+TPU rebuild adds on top of the same session semantics: a small stdlib-only
+HTTP front end over :class:`ital_tpu.models.session.ActiveRetrieval`.  One
+process owns the chip; the corpus and GP template are initialized once and
+shared by all sessions (features are never copied per session); requests are
+serialized through a lock (JAX dispatch is single-stream per process anyway —
+throughput scaling is the runner's cohort mode, latency serving is this).
+
+API (JSON bodies; examples with ``curl``):
+
+    GET  /healthz                          -> {"ok": true, "corpus": ..., "n": N}
+    POST /sessions        {"strategy"?, "label_prob"?, "mistake_prob"?}
+                                           -> {"session_id": "s0"}
+    POST /sessions/<id>/query    {"index": 123}        (query image = +1 label)
+    GET  /sessions/<id>/batch?k=4          -> {"batch": [..]}   next to label
+    POST /sessions/<id>/feedback {"labels": {"17": 1, "40": -1}}
+                                           (ids shown but absent = skipped)
+    GET  /sessions/<id>/ranking?k=20       -> {"top": [..], "scores": [..]}
+    POST /sessions/<id>/learn    {"steps"?: 50}  -> learned hyperparameters
+    DELETE /sessions/<id>
+
+Start: ``python -m ital_tpu.serve configs/digits.ini --port 8080``
+(the config's [DATA]/[GP]/[USER]/[EXPERIMENT] sections supply the corpus,
+hyperparameters, user model and default strategy).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class RetrievalService:
+    """Session registry over one shared corpus — the HTTP-agnostic core."""
+
+    def __init__(
+        self,
+        x,
+        *,
+        length_scale: float,
+        var: float = 1.0,
+        noise: float = 0.1,
+        cap: int = 64,
+        strategy: str = "ital",
+        label_prob: float = 1.0,
+        mistake_prob: float = 0.0,
+        corpus_name: str = "corpus",
+    ):
+        self.x = np.asarray(x, np.float32)
+        self.defaults = dict(
+            length_scale=length_scale, var=var, noise=noise, cap=cap,
+            strategy=strategy, label_prob=label_prob, mistake_prob=mistake_prob,
+        )
+        self.corpus_name = corpus_name
+        self._sessions: Dict[str, object] = {}
+        self._next = 0
+        self._lock = threading.Lock()
+
+    # Every public method takes the lock: one chip, one dispatch stream.
+
+    def health(self) -> dict:
+        return {"ok": True, "corpus": self.corpus_name,
+                "n": int(self.x.shape[0]), "sessions": len(self._sessions)}
+
+    def create_session(self, **overrides) -> str:
+        from ital_tpu.models.session import ActiveRetrieval
+
+        cfg = {**self.defaults, **{k: v for k, v in overrides.items()
+                                   if v is not None}}
+        with self._lock:
+            sid = f"s{self._next}"
+            self._next += 1
+            self._sessions[sid] = ActiveRetrieval(
+                self.x,
+                length_scale=float(cfg["length_scale"]),
+                var=float(cfg["var"]), noise=float(cfg["noise"]),
+                cap=int(cfg["cap"]), strategy=str(cfg["strategy"]),
+                label_prob=float(cfg["label_prob"]),
+                mistake_prob=float(cfg["mistake_prob"]),
+            )
+        return sid
+
+    def _get(self, sid: str):
+        sess = self._sessions.get(sid)
+        if sess is None:
+            raise KeyError(f"no such session {sid!r}")
+        return sess
+
+    def set_query(self, sid: str, index: int) -> None:
+        with self._lock:
+            self._get(sid).update_query(int(index))
+
+    def next_batch(self, sid: str, k: int) -> list:
+        with self._lock:
+            return [int(i) for i in self._get(sid).fetch_unlabelled(int(k))]
+
+    def feedback(self, sid: str, labels: Dict[str, int]) -> dict:
+        with self._lock:
+            sess = self._get(sid)
+            sess.update({int(i): (None if v in (0, None) else int(v))
+                         for i, v in labels.items()})
+            return {"labeled": int(np.asarray(sess.state.count))}
+
+    def ranking(self, sid: str, k: int) -> dict:
+        with self._lock:
+            sess = self._get(sid)
+            top = sess.top_k(int(k))
+            scores = sess.scores()
+        return {"top": [int(i) for i in top],
+                "scores": [round(float(scores[i]), 6) for i in top]}
+
+    def learn(self, sid: str, steps: int = 50) -> dict:
+        with self._lock:
+            return self._get(sid).learn_hyperparams(steps=int(steps))
+
+    def delete(self, sid: str) -> None:
+        with self._lock:
+            self._sessions.pop(sid, None)
+
+
+_SESSION_RE = re.compile(
+    r"^/sessions/([^/]+)(?:/(query|batch|feedback|ranking|learn))?$"
+)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: RetrievalService  # injected by make_server
+
+    # -- plumbing -----------------------------------------------------------
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        if not n:
+            return {}
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def _dispatch(self, method: str) -> None:
+        try:
+            path, _, query = self.path.partition("?")
+            qs = dict(p.split("=", 1) for p in query.split("&") if "=" in p)
+            self._route(method, path, qs)
+        except KeyError as e:
+            self._json(404, {"error": str(e)})
+        except (ValueError, json.JSONDecodeError) as e:
+            self._json(400, {"error": str(e)})
+        except Exception as e:  # surface, don't kill the server thread
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    def do_GET(self):  # noqa: N802 (stdlib API)
+        self._dispatch("GET")
+
+    def do_POST(self):  # noqa: N802
+        self._dispatch("POST")
+
+    def do_DELETE(self):  # noqa: N802
+        self._dispatch("DELETE")
+
+    # -- routes -------------------------------------------------------------
+
+    def _route(self, method: str, path: str, qs: Dict[str, str]) -> None:
+        svc = self.service
+        if method == "GET" and path == "/healthz":
+            return self._json(200, svc.health())
+        if method == "POST" and path == "/sessions":
+            body = self._body()
+            sid = svc.create_session(
+                strategy=body.get("strategy"), cap=body.get("cap"),
+                label_prob=body.get("label_prob"),
+                mistake_prob=body.get("mistake_prob"),
+                length_scale=body.get("length_scale"),
+                var=body.get("var"), noise=body.get("noise"),
+            )
+            return self._json(200, {"session_id": sid})
+        m = _SESSION_RE.match(path)
+        if not m:
+            return self._json(404, {"error": f"no route {method} {path}"})
+        sid, action = m.group(1), m.group(2)
+        if method == "DELETE" and action is None:
+            svc.delete(sid)
+            return self._json(200, {"deleted": sid})
+        if method == "POST" and action == "query":
+            svc.set_query(sid, self._body()["index"])
+            return self._json(200, {"ok": True})
+        if method == "GET" and action == "batch":
+            return self._json(200, {"batch": svc.next_batch(sid, int(qs.get("k", 4)))})
+        if method == "POST" and action == "feedback":
+            return self._json(200, svc.feedback(sid, self._body().get("labels", {})))
+        if method == "GET" and action == "ranking":
+            return self._json(200, svc.ranking(sid, int(qs.get("k", 20))))
+        if method == "POST" and action == "learn":
+            return self._json(200, svc.learn(sid, int(self._body().get("steps", 50))))
+        return self._json(404, {"error": f"no route {method} {path}"})
+
+
+def make_server(service: RetrievalService, port: int = 0) -> ThreadingHTTPServer:
+    """Bind a server (port 0 = ephemeral); caller runs ``serve_forever``."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+
+def service_from_config(cfg) -> RetrievalService:
+    """Build a service from an :class:`ExperimentConfig` (dataset + GP + user)."""
+    from ital_tpu.data import datasets as ds_mod
+
+    ds = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
+    return RetrievalService(
+        ds.x,
+        length_scale=cfg.gp.length_scale, var=cfg.gp.var, noise=cfg.gp.noise,
+        cap=cfg.cap, strategy=cfg.method,
+        label_prob=cfg.user.label_prob, mistake_prob=cfg.user.mistake_prob,
+        corpus_name=ds.name,
+    )
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    from ital_tpu.utils.config import load_config
+
+    ap = argparse.ArgumentParser(description="ital_tpu retrieval server")
+    ap.add_argument("config", nargs="?", default=None)
+    ap.add_argument("overrides", nargs="*")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args(argv)
+    cfg = load_config(args.config, tuple(args.overrides))
+    srv = make_server(service_from_config(cfg), args.port)
+    print(f"# serving {cfg.dataset} on http://127.0.0.1:{srv.server_address[1]}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,89 @@
+"""HTTP serving daemon: full client-driven retrieval session over the wire."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from ital_tpu.serve import RetrievalService, make_server
+
+
+@pytest.fixture(scope="module")
+def server():
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(3, 6)) * 4
+    x = np.concatenate([c + rng.normal(size=(40, 6)) for c in centers])
+    svc = RetrievalService(
+        x.astype(np.float32), length_scale=2.5, noise=0.1, cap=32,
+        strategy="ital", label_prob=1.0, mistake_prob=0.0,
+        corpus_name="toy3x40",
+    )
+    srv = make_server(svc, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _req(url, method="GET", body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method,
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_full_session_over_http(server):
+    code, h = _req(f"{server}/healthz")
+    assert code == 200 and h["ok"] and h["n"] == 120
+
+    code, r = _req(f"{server}/sessions", "POST", {})
+    assert code == 200
+    sid = r["session_id"]
+
+    code, _ = _req(f"{server}/sessions/{sid}/query", "POST", {"index": 5})
+    assert code == 200
+
+    # Two feedback rounds driven purely over the wire.
+    for _ in range(2):
+        code, b = _req(f"{server}/sessions/{sid}/batch?k=3")
+        assert code == 200 and len(b["batch"]) == 3
+        labels = {str(i): (1 if i < 40 else -1) for i in b["batch"]}
+        code, fb = _req(f"{server}/sessions/{sid}/feedback", "POST",
+                        {"labels": labels})
+        assert code == 200 and fb["labeled"] >= 4
+
+    code, rk = _req(f"{server}/sessions/{sid}/ranking?k=10")
+    assert code == 200
+    in_class = sum(1 for i in rk["top"] if i < 40)
+    assert in_class >= 8, rk  # query's class dominates the ranking
+
+    code, learned = _req(f"{server}/sessions/{sid}/learn", "POST", {"steps": 20})
+    assert code == 200 and learned["length_scale"] > 0
+
+    code, _ = _req(f"{server}/sessions/{sid}", "DELETE")
+    assert code == 200
+    code, err = _req(f"{server}/sessions/{sid}/ranking?k=5")
+    assert code == 404 and "no such session" in err["error"]
+
+
+def test_session_overrides_and_errors(server):
+    # Per-session strategy override.
+    code, r = _req(f"{server}/sessions", "POST",
+                   {"strategy": "uncertainty_sampling", "cap": 16})
+    assert code == 200
+    sid = r["session_id"]
+    _req(f"{server}/sessions/{sid}/query", "POST", {"index": 50})
+    code, b = _req(f"{server}/sessions/{sid}/batch?k=2")
+    assert code == 200 and len(b["batch"]) == 2
+
+    # Unknown routes and sessions are 404, malformed bodies 400/500 json.
+    code, _ = _req(f"{server}/nope")
+    assert code == 404
+    code, _ = _req(f"{server}/sessions/does-not-exist/batch?k=2")
+    assert code == 404
