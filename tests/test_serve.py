@@ -87,3 +87,37 @@ def test_session_overrides_and_errors(server):
     assert code == 404
     code, _ = _req(f"{server}/sessions/does-not-exist/batch?k=2")
     assert code == 404
+
+
+def test_concurrent_clients(server):
+    """Two client threads drive independent sessions concurrently; the
+    service lock serializes device work and every response stays consistent."""
+    import threading
+
+    errors = []
+
+    def client(query, lo, hi):
+        try:
+            _, r = _req(f"{server}/sessions", "POST", {})
+            sid = r["session_id"]
+            code, _ = _req(f"{server}/sessions/{sid}/query", "POST",
+                           {"index": query})
+            assert code == 200
+            for _ in range(2):
+                code, b = _req(f"{server}/sessions/{sid}/batch?k=2")
+                assert code == 200 and len(b["batch"]) == 2
+                _req(f"{server}/sessions/{sid}/feedback", "POST",
+                     {"labels": {str(i): (1 if lo <= i < hi else -1)
+                                 for i in b["batch"]}})
+            code, rk = _req(f"{server}/sessions/{sid}/ranking?k=5")
+            assert code == 200 and len(rk["top"]) == 5
+        except Exception as e:  # surface thread failures to the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(5, 0, 40)),
+               threading.Thread(target=client, args=(45, 40, 80))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
