@@ -215,16 +215,7 @@ def _run_session(
             )
             ap.block_until_ready()
         if cfg.gp.learn_every and (rnd + 1) % cfg.gp.learn_every == 0:
-            # Online type-II ML: re-learn hyperparameters from this session's
-            # labels so far, then refit the posterior (models/hyperopt.py).
-            from ital_tpu.models.hyperopt import fit_hyperparams
-
-            hyper = fit_hyperparams(
-                state.x[state.idx], state.y, state.active, state.hyper,
-                steps=cfg.gp.learn_steps, lr=cfg.gp.learn_lr,
-                learn_noise=cfg.gp.learn_noise,
-            )
-            state = gp_mod.gp_fit(state.replace(hyper=hyper))
+            state = _relearn_hyperparams(state, cfg)
         curve.append(float(ap))
         logger.log(
             rep=rep, cls=c, query=q, round=rnd, ap=float(ap),
@@ -232,10 +223,7 @@ def _run_session(
             labeled=int(np.asarray(state.active).sum()),
             device_mem_mb=round(device_mem_mb(), 1),
             **{f"recall@{k}": float(r) for k, r in zip(RECALL_KS, np.asarray(recalls))},
-            **({"length_scale": round(float(state.hyper.length_scale), 4),
-                "gp_var": round(float(state.hyper.var), 4),
-                "gp_noise": round(float(state.hyper.noise), 4)}
-               if cfg.gp.learn_every else {}),
+            **_hyper_log_fields(state, cfg),
         )
         if ckpt_path:
             ckpt.save_session(
@@ -244,6 +232,32 @@ def _run_session(
             )
         _maybe_inject_fault(rnd)
     return curve
+
+
+def _relearn_hyperparams(state, cfg: ExperimentConfig):
+    """Online type-II ML: re-learn hyperparameters from the session's labels
+    so far, then refit the posterior (models/hyperopt.py).  Shared by the
+    serial and per-round sharded paths — their trajectory equality is tested
+    (tests/test_hyperopt.py), so keep them on this one code path."""
+    from ital_tpu.models.hyperopt import fit_hyperparams
+
+    hyper = fit_hyperparams(
+        state.x[state.idx], state.y, state.active, state.hyper,
+        steps=cfg.gp.learn_steps, lr=cfg.gp.learn_lr,
+        learn_noise=cfg.gp.learn_noise,
+    )
+    return gp_mod.gp_fit(state.replace(hyper=hyper))
+
+
+def _hyper_log_fields(state, cfg: ExperimentConfig) -> Dict[str, float]:
+    """Learned-hyperparameter JSONL fields (empty when learning is off)."""
+    if not cfg.gp.learn_every:
+        return {}
+    return {
+        "length_scale": round(float(state.hyper.length_scale), 4),
+        "gp_var": round(float(state.hyper.var), 4),
+        "gp_noise": round(float(state.hyper.noise), 4),
+    }
 
 
 def _maybe_inject_fault(rnd: int) -> None:
@@ -725,20 +739,12 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
                         )
                         ap.block_until_ready()
                     if cfg.gp.learn_every and (rnd + 1) % cfg.gp.learn_every == 0:
-                        # Same online type-II ML as the serial path: the
-                        # labeled buffers are replicated and x's rows
-                        # auto-gather under jit, so fit_hyperparams/gp_fit run
-                        # directly on the sharded state; re-shard the refit
-                        # output to the round_fn's expected layout.
-                        from ital_tpu.models.hyperopt import fit_hyperparams
-
-                        hyper = fit_hyperparams(
-                            state.x[state.idx], state.y, state.active,
-                            state.hyper, steps=cfg.gp.learn_steps,
-                            lr=cfg.gp.learn_lr, learn_noise=cfg.gp.learn_noise,
-                        )
+                        # Same relearn as the serial path — the labeled
+                        # buffers are replicated and x's rows auto-gather
+                        # under jit — then re-shard the refit output to the
+                        # round_fn's expected layout.
                         state = shard_state(
-                            gp_mod.gp_fit(state.replace(hyper=hyper)), mesh
+                            _relearn_hyperparams(state, cfg), mesh
                         )
                     curve.append(float(ap))
                     logger.log(
@@ -747,10 +753,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
                         labeled=int(np.asarray(state.active).sum()),
                         **{f"recall@{k}": float(r)
                            for k, r in zip(RECALL_KS, np.asarray(recalls))},
-                        **({"length_scale": round(float(state.hyper.length_scale), 4),
-                            "gp_var": round(float(state.hyper.var), 4),
-                            "gp_noise": round(float(state.hyper.noise), 4)}
-                           if cfg.gp.learn_every else {}),
+                        **_hyper_log_fields(state, cfg),
                     )
                     if ckpt_path:
                         ckpt.save_session(

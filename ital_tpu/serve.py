@@ -38,6 +38,11 @@ from typing import Dict, Optional
 import numpy as np
 
 
+class NotFound(KeyError):
+    """Unknown session id / route — maps to HTTP 404 (other KeyErrors from
+    malformed bodies map to 400)."""
+
+
 class RetrievalService:
     """Session registry over one shared corpus — the HTTP-agnostic core."""
 
@@ -54,7 +59,12 @@ class RetrievalService:
         mistake_prob: float = 0.0,
         corpus_name: str = "corpus",
     ):
-        self.x = np.asarray(x, np.float32)
+        import jax.numpy as jnp
+
+        # One device-resident copy shared by ALL sessions: gp_init stores x
+        # as-is when it is already a jax Array, so sessions share this buffer
+        # instead of each POST /sessions re-transferring the corpus.
+        self.x = jnp.asarray(np.asarray(x, np.float32))
         self.defaults = dict(
             length_scale=length_scale, var=var, noise=noise, cap=cap,
             strategy=strategy, label_prob=label_prob, mistake_prob=mistake_prob,
@@ -91,7 +101,7 @@ class RetrievalService:
     def _get(self, sid: str):
         sess = self._sessions.get(sid)
         if sess is None:
-            raise KeyError(f"no such session {sid!r}")
+            raise NotFound(f"no such session {sid!r}")
         return sess
 
     def set_query(self, sid: str, index: int) -> None:
@@ -158,10 +168,12 @@ class _Handler(BaseHTTPRequestHandler):
             path, _, query = self.path.partition("?")
             qs = dict(p.split("=", 1) for p in query.split("&") if "=" in p)
             self._route(method, path, qs)
-        except KeyError as e:
+        except NotFound as e:
             self._json(404, {"error": str(e)})
-        except (ValueError, json.JSONDecodeError) as e:
-            self._json(400, {"error": str(e)})
+        except (KeyError, ValueError, json.JSONDecodeError) as e:
+            # Missing body fields / unknown strategy names are the CLIENT's
+            # error on an existing resource -> 400, not 404.
+            self._json(400, {"error": f"bad request: {e}"})
         except Exception as e:  # surface, don't kill the server thread
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -53,8 +53,13 @@ def main() -> int:
 
     lp, mp = (0.6, 0.15) if args.heavy else (0.8, 0.05)
     seeds = [int(s) for s in args.seeds.split(",")]
-    out_name = ("results/mirflickr_methods_heavynoise.json" if args.heavy
-                else "results/mirflickr_methods.json")
+    # Anchor outputs to the repo, not the cwd (the config path already is).
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_name = os.path.join(
+        repo, "results",
+        "mirflickr_methods_heavynoise.json" if args.heavy
+        else "mirflickr_methods.json",
+    )
 
     record: dict = {}
     per_seed: dict = {m: [] for m in METHODS}
@@ -79,7 +84,7 @@ def main() -> int:
                 "mean_final": round(sum(c[-1] for c in per_seed[m]) / len(seeds), 4)}
             for m in METHODS
         }
-    os.makedirs("results", exist_ok=True)
+    os.makedirs(os.path.dirname(out_name), exist_ok=True)
     with open(out_name, "w") as fh:
         json.dump(record, fh, indent=1)
     print(f"wrote {out_name}")
