@@ -135,9 +135,54 @@ class RetrievalService:
         with self._lock:
             self._sessions.pop(sid, None)
 
+    # -- snapshot / restore (serving failover via utils.checkpoint) --------
+
+    def snapshot(self, sid: str) -> bytes:
+        """Serialize a session (everything but the shared corpus) to npz bytes."""
+        import os
+        import tempfile
+
+        from ital_tpu.utils import checkpoint as ckpt
+
+        with self._lock:
+            sess = self._get(sid)
+            with tempfile.TemporaryDirectory() as d:
+                p = os.path.join(d, "session.npz")
+                q = -1 if sess.query is None else int(sess.query)
+                ckpt.save_session(p, sess.state,
+                                  extra={"query": np.asarray(q)})
+                with open(p, "rb") as fh:
+                    return fh.read()
+
+    def restore(self, blob: bytes) -> str:
+        """Recreate a session from :meth:`snapshot` bytes (same corpus).
+
+        The capacity is taken from the snapshot so it restores against any
+        server defaults; strategy/user-model come from the server defaults.
+        """
+        import io
+        import os
+        import tempfile
+
+        from ital_tpu.utils import checkpoint as ckpt
+
+        cap = int(np.load(io.BytesIO(blob))["state_idx"].shape[0])
+        sid = self.create_session(cap=cap)
+        with self._lock:
+            sess = self._sessions[sid]
+            with tempfile.TemporaryDirectory() as d:
+                p = os.path.join(d, "session.npz")
+                with open(p, "wb") as fh:
+                    fh.write(blob)
+                state, extra = ckpt.load_session(p, sess.state)
+            sess.state = state
+            q = int(extra["query"]) if "query" in extra else -1
+            sess.query = None if q < 0 else q
+        return sid
+
 
 _SESSION_RE = re.compile(
-    r"^/sessions/([^/]+)(?:/(query|batch|feedback|ranking|learn))?$"
+    r"^/sessions/([^/]+)(?:/(query|batch|feedback|ranking|learn|snapshot))?$"
 )
 
 
@@ -192,6 +237,10 @@ class _Handler(BaseHTTPRequestHandler):
         svc = self.service
         if method == "GET" and path == "/healthz":
             return self._json(200, svc.health())
+        if method == "POST" and path == "/sessions/restore":
+            n = int(self.headers.get("Content-Length") or 0)
+            blob = self.rfile.read(n)
+            return self._json(200, {"session_id": svc.restore(blob)})
         if method == "POST" and path == "/sessions":
             body = self._body()
             sid = svc.create_session(
@@ -218,6 +267,14 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(200, svc.feedback(sid, self._body().get("labels", {})))
         if method == "GET" and action == "ranking":
             return self._json(200, svc.ranking(sid, int(qs.get("k", 20))))
+        if method == "GET" and action == "snapshot":
+            blob = svc.snapshot(sid)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+            return None
         if method == "POST" and action == "learn":
             return self._json(200, svc.learn(sid, int(self._body().get("steps", 50))))
         return self._json(404, {"error": f"no route {method} {path}"})

@@ -121,3 +121,30 @@ def test_concurrent_clients(server):
     for t in threads:
         t.join(timeout=300)
     assert not errors, errors
+
+
+def test_snapshot_restore_over_http(server):
+    """Serving failover: snapshot a mid-session state, delete the session,
+    restore from the bytes — ranking identical."""
+    _, r = _req(f"{server}/sessions", "POST", {})
+    sid = r["session_id"]
+    _req(f"{server}/sessions/{sid}/query", "POST", {"index": 5})
+    _, b = _req(f"{server}/sessions/{sid}/batch?k=3")
+    _req(f"{server}/sessions/{sid}/feedback", "POST",
+         {"labels": {str(i): (1 if i < 40 else -1) for i in b["batch"]}})
+    _, before = _req(f"{server}/sessions/{sid}/ranking?k=10")
+
+    with urllib.request.urlopen(f"{server}/sessions/{sid}/snapshot") as resp:
+        blob = resp.read()
+    assert resp.headers["Content-Type"] == "application/octet-stream"
+    _req(f"{server}/sessions/{sid}", "DELETE")
+
+    req = urllib.request.Request(f"{server}/sessions/restore", data=blob,
+                                 method="POST")
+    with urllib.request.urlopen(req) as resp2:
+        sid2 = json.loads(resp2.read())["session_id"]
+    _, after = _req(f"{server}/sessions/{sid2}/ranking?k=10")
+    assert after == before
+    # Restored sessions keep working: another feedback round applies cleanly.
+    code, b2 = _req(f"{server}/sessions/{sid2}/batch?k=2")
+    assert code == 200 and len(b2["batch"]) == 2
