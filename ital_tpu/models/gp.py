@@ -230,7 +230,12 @@ def gp_update(
     k_b_all = jnp.where(new_valid[:, None], k_b_all, 0.0)
     stv = jnp.dot(s.T, state.v, preferred_element_type=jnp.float32).astype(state.x.dtype)
     v_b = chol_ops.tri_solve(l_b, k_b_all - stv)  # (b, N)
-    beta_b = chol_ops.tri_solve(l_b, (new_y - s.T @ state.beta)[:, None])[:, 0]
+    beta_b = chol_ops.tri_solve(
+        l_b,
+        (new_y - jnp.dot(s.T, state.beta,
+                         preferred_element_type=jnp.float32).astype(state.x.dtype)
+         )[:, None],
+    )[:, 0]
 
     v = jax.lax.dynamic_update_slice(state.v, v_b, (state.count, 0))
     beta = jax.lax.dynamic_update_slice(state.beta, beta_b, (state.count,))

@@ -20,23 +20,28 @@ def blocked_map(
     *,
     block: int,
     pad_values: Sequence[Any] | None = None,
-    out_rows: int | None = None,
 ) -> jax.Array:
     """``concat([fn(*blk) for blk in row-blocks of arrays])[:n]`` via ``lax.map``.
 
     Args:
-      fn: maps per-block slices (each with leading dim ``block``) to an array
-        whose leading dim is ``block``.
+      fn: maps per-block slices (leading dim ``block``, or ``n`` when the
+        whole input fits in one block — fn must not rely on a fixed leading
+        dim) to an array with the same leading dim.
       arrays: same leading dim ``n``; streamed together.
       block: rows per block; the last block is zero-padded (or per-array
         ``pad_values``) and the padded outputs sliced away.
       pad_values: optional per-array pad constants (e.g. 1.0 for a variance
-        vector so downstream sqrt/division stays finite on pad rows).
-      out_rows: leading dim of the result (defaults to ``n``).
+        vector so downstream sqrt/division stays finite on pad rows); must
+        match ``arrays`` in length.
 
-    Returns the concatenated outputs with leading dim ``out_rows``.
+    Returns the concatenated outputs with leading dim ``n``.
     """
     n = arrays[0].shape[0]
+    if pad_values is not None and len(pad_values) != len(arrays):
+        raise ValueError(
+            f"pad_values has {len(pad_values)} entries for {len(arrays)} "
+            f"arrays — a silent zip truncation would drop streamed inputs"
+        )
     if n <= block:
         return fn(*arrays)
     nblocks = -(-n // block)
@@ -52,4 +57,4 @@ def blocked_map(
     blocks = tuple(to_blocks(a, pv) for a, pv in zip(arrays, pad_values))
     out = jax.lax.map(lambda blk: fn(*blk), blocks)
     out = out.reshape(nblocks * block, *out.shape[2:])
-    return out[: (n if out_rows is None else out_rows)]
+    return out[:n]

@@ -71,7 +71,7 @@ def chol_append_block(
     count: jax.Array,
     active_new: jax.Array,
     noise: jax.Array | float,
-) -> jax.Array:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Append a block of ``b`` slots at position ``count`` to a padded Cholesky factor.
 
     Args:

@@ -49,10 +49,19 @@ _PRIMES = np.array(
 _EPS = 1e-6
 
 
-def _phi(x: jax.Array) -> jax.Array:
-    """Standard normal CDF, clamped away from {0, 1}."""
+def norm_cdf(x: jax.Array, *, eps: float = _EPS) -> jax.Array:
+    """Standard normal CDF via erfc, clamped to ``[eps, 1 - eps]``.
+
+    The one shared Phi of the codebase (the QMC chain uses the default
+    ``eps`` so ``fast_ndtri`` stays finite in f32; the baselines pass a
+    looser clip) — keep clamping policy here, not in per-module copies.
+    """
     p = 0.5 * jax.lax.erfc(-x * (1.0 / np.sqrt(2.0)))
-    return jnp.clip(p, _EPS, 1.0 - _EPS)
+    return jnp.clip(p, eps, 1.0 - eps)
+
+
+def _phi(x: jax.Array) -> jax.Array:
+    return norm_cdf(x)
 
 
 # Acklam's rational approximation to the inverse normal CDF: ~1.2e-9 relative
@@ -191,10 +200,13 @@ def mvn_orthant_prob(
 
     # Sequential conditioning over dims 1..m-1 as a lax.scan: one ndtri/phi in
     # the compiled graph regardless of m (the unrolled form made the TPU
-    # compiler chew for minutes once batched over candidates x configs), with a
-    # zero-padded y buffer standing in for the growing prefix — c is lower
-    # triangular and future slots are zero, so the full-row dot equals the
-    # prefix dot.
+    # compiler chew for minutes once batched over candidates x configs), with
+    # a zero-padded y buffer standing in for the growing prefix.  INVARIANT:
+    # at step i, ybuf slots >= i-1 are still zero when the row dot runs —
+    # y_{i-1} is written and THEN t_i is computed against c-row slice
+    # c[i, :m-1], whose slot i-1 is c[i, i-1] (sub-diagonal, legitimately
+    # nonzero); slots >= i hold zeros in ybuf, not in c, so reordering the
+    # body (updating ybuf late, or pre-filling it) silently corrupts t_i.
     ybuf0 = jnp.zeros((n_points, m - 1), dt)
     xs = (
         w.T,  # (m-1, P) QMC coordinates per dim

@@ -352,12 +352,13 @@ def _sharded_diversity_scores(
     ``sim_lab`` is the labeled-similarity vector, computed ONCE per round by
     the caller (it is invariant across greedy steps; recomputing it per step
     would repeat its collective gather, which XLA cannot CSE across
-    shard_map channel ids).
+    shard_map channel ids).  The penalty is the max over the UNION of labeled
+    and chosen items, matching the single-device ``_diversity_greedy``.
     """
-    s = base - weight * sim_lab
+    sim = sim_lab
     if t > 0:
-        s = s - weight * _sharded_batch_max_sim(state, batch, t)
-    return s
+        sim = jnp.maximum(sim, _sharded_batch_max_sim(state, batch, t))
+    return base - weight * sim
 
 
 def _sharded_rbmal_scores(

@@ -37,7 +37,9 @@ _EPS = 1e-12
 
 
 def _phi(z):
-    return jnp.clip(0.5 * jax.lax.erfc(-z * 0.7071067811865476), 1e-7, 1 - 1e-7)
+    from ital_tpu.ops.mvn import norm_cdf
+
+    return norm_cdf(z, eps=1e-7)
 
 
 def _binary_entropy(p):
@@ -123,16 +125,21 @@ def select_entropy(state, batch_size, key, params: StrategyParams):
 
 
 def _diversity_greedy(state, batch_size, base_scores, weight):
-    """Greedy argmax of ``base - weight * max_sim(candidate, chosen + labeled)``."""
-    sim_lab = _max_sim_to_labeled(state)
+    """Greedy argmax of ``base - weight * max_sim(candidate, chosen + labeled)``.
+
+    The penalty is the max over the UNION of labeled and already-chosen items
+    (Brinker-style diversity; same convention as ``select_rbmal``) — summing
+    the two maxes would double-penalize candidates near both sets.
+    """
+    sim_lab = jnp.maximum(_max_sim_to_labeled(state), 0.0)
 
     def score(batch, t):
-        s = base_scores - weight * jnp.maximum(sim_lab, 0.0)
+        sim = sim_lab
         if t > 0:
             xb = state.x[batch[:t]]
             sims = rbf_kernel(state.x, xb, state.hyper.length_scale, 1.0)
-            s = s - weight * jnp.max(sims, axis=1)
-        return s
+            sim = jnp.maximum(sim, jnp.max(sims, axis=1))
+        return base_scores - weight * sim
 
     return greedy_argmax_batch(score, state, batch_size)
 

@@ -45,3 +45,27 @@ def test_strategy_deterministic_given_key(fitted_state, name):
     b1 = np.asarray(STRATEGIES[name](fitted_state, 2, jax.random.PRNGKey(0), params))
     b2 = np.asarray(STRATEGIES[name](fitted_state, 2, jax.random.PRNGKey(0), params))
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_diversity_penalty_is_max_over_union():
+    """The diversity penalty is max-sim over labeled UNION chosen — summing
+    the two maxes would double-penalize and flip this selection (regression
+    test for the round-2 review finding)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ital_tpu.models import gp as gp_mod
+    from ital_tpu.select.baselines import _diversity_greedy
+
+    # 1-D geometry (ls=1): labeled L at 0; C is forced first pick; A is near
+    # both L (sim .9) and C (sim .8); B is nearer L (sim .95) but far from C.
+    # max-over-union prefers A (0.9 < 0.95); a summed penalty would prefer B
+    # (1.7 > ~1.3).
+    x = np.array([[0.0], [1.127], [0.459], [-0.320]], np.float32)
+    state = gp_mod.gp_init(jnp.asarray(x), 1.0, 1.0, 0.1, cap=4)
+    state = gp_mod.gp_update(state, jnp.asarray([0], jnp.int32),
+                             jnp.asarray([1.0], jnp.float32),
+                             jnp.ones(1, bool))
+    base = jnp.asarray([0.0, 100.0, 0.0, 0.0], jnp.float32)  # C first
+    batch = np.asarray(_diversity_greedy(state, 2, base, jnp.asarray(1.0)))
+    assert list(batch) == [1, 2], batch
