@@ -2,13 +2,23 @@
 """MIRFLICKR-scale method comparison under label noise (reproducible).
 
 Regenerates ``results/mirflickr_methods.json`` and (with ``--heavy``)
-``results/mirflickr_methods_heavynoise.json`` — the round-1 numbers were
-produced by an ad-hoc session; this script pins the protocol: ITAL vs
-uncertainty vs random on the MIRFLICKR corpus (stored features or flagged
-surrogate), noisy user, all 14 topic-class sessions per method, cohort-fused
-execution (one dispatch per cohort of 7 sessions).
+``results/mirflickr_methods_heavynoise.json``: ITAL vs uncertainty vs random
+on the MIRFLICKR corpus (stored features or flagged surrogate), noisy user,
+all 14 topic-class sessions per method, cohort-fused execution (one dispatch
+per cohort of 7 sessions).
+
+Every recorded MAP row is a mean +/- std over ``--seeds`` (default 0,1,2):
+single-seed MAP differences at this scale are 0.003-0.14 — smaller than
+cross-seed spread — so ordering claims need the uncertainty (VERDICT round 2,
+weak item 3).
+
+``--gp-noise`` overrides the GP noise hyperparameter and suffixes the output
+file (``…_gpnoise0.5.json``) — used by the heavy-noise robustness analysis
+(docs/NOISE_ANALYSIS.md) to separate the user-model story from GP
+regularization.
 
 Usage: python scripts/method_comparison.py [--heavy] [--seeds 0,1,2]
+       [--gp-noise 0.5] [--methods ital,uncertainty_sampling,random]
 """
 
 from __future__ import annotations
@@ -21,22 +31,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-METHODS = ["ital", "uncertainty_sampling", "random"]
+DEFAULT_METHODS = ["ital", "uncertainty_sampling", "random"]
 
 
-def run_one(method: str, label_prob: float, mistake_prob: float, seed: int):
+def run_one(method: str, label_prob: float, mistake_prob: float, seed: int,
+            gp_noise: float | None):
     from ital_tpu.runner import run_experiment
     from ital_tpu.utils.config import load_config
 
+    overrides = [
+        f"EXPERIMENT.method={method}",
+        f"EXPERIMENT.seed={seed}",
+        "EXPERIMENT.query_batch=7",
+        "EXPERIMENT.fused_sessions=true",
+        f"USER.label_prob={label_prob}",
+        f"USER.mistake_prob={mistake_prob}",
+    ]
+    if gp_noise is not None:
+        overrides.append(f"GP.noise={gp_noise}")
     cfg = load_config(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "configs", "mirflickr.ini"),
-        (f"EXPERIMENT.method={method}",
-         f"EXPERIMENT.seed={seed}",
-         "EXPERIMENT.query_batch=7",
-         "EXPERIMENT.fused_sessions=true",
-         f"USER.label_prob={label_prob}",
-         f"USER.mistake_prob={mistake_prob}"),
+        tuple(overrides),
     )
     t0 = time.time()
     res = run_experiment(cfg)
@@ -44,45 +60,51 @@ def run_one(method: str, label_prob: float, mistake_prob: float, seed: int):
 
 
 def main() -> int:
+    import numpy as np
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--heavy", action="store_true",
                     help="label_prob=0.6 mistake_prob=0.15 (heavy noise)")
-    ap.add_argument("--seeds", default="0",
-                    help="comma-separated seeds; >1 adds a cross-seed note")
+    ap.add_argument("--seeds", default="0,1,2",
+                    help="comma-separated seeds; recorded rows are mean+/-std")
+    ap.add_argument("--gp-noise", type=float, default=None,
+                    help="override GP noise (suffixes the output filename)")
+    ap.add_argument("--methods", default=",".join(DEFAULT_METHODS))
     args = ap.parse_args()
 
     lp, mp = (0.6, 0.15) if args.heavy else (0.8, 0.05)
     seeds = [int(s) for s in args.seeds.split(",")]
+    methods = [m for m in args.methods.split(",") if m]
     # Anchor outputs to the repo, not the cwd (the config path already is).
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_name = os.path.join(
-        repo, "results",
-        "mirflickr_methods_heavynoise.json" if args.heavy
-        else "mirflickr_methods.json",
-    )
+    stem = "mirflickr_methods_heavynoise" if args.heavy else "mirflickr_methods"
+    if args.gp_noise is not None:
+        stem += f"_gpnoise{args.gp_noise:g}"
+    out_name = os.path.join(repo, "results", stem + ".json")
 
     record: dict = {}
-    per_seed: dict = {m: [] for m in METHODS}
-    for m in METHODS:
+    for m in methods:
+        curves, walls = [], []
         for seed in seeds:
             print(f"== {m} seed={seed}", flush=True)
-            res, wall = run_one(m, lp, mp, seed)
-            per_seed[m].append([round(float(v), 4) for v in res["map"]])
-            if seed == seeds[0]:
-                record[m] = {
-                    "map": per_seed[m][0],
-                    "sessions": len(res["sessions"]),
-                    "wall_s": round(wall, 1),
-                    "n_rounds": len(res["map"]),
-                    "user": f"label_prob={lp}, mistake_prob={mp}",
-                    "mode": "cohort-fused (query_batch=7)",
-                }
+            res, wall = run_one(m, lp, mp, seed, args.gp_noise)
+            curves.append([round(float(v), 4) for v in res["map"]])
+            walls.append(round(wall, 1))
             print(f"   final MAP {res['map'][-1]:.4f} ({wall:.1f}s)", flush=True)
-    if len(seeds) > 1:
-        record["_note"] = {
-            m: {"final_map_by_seed": [c[-1] for c in per_seed[m]],
-                "mean_final": round(sum(c[-1] for c in per_seed[m]) / len(seeds), 4)}
-            for m in METHODS
+        arr = np.asarray(curves)
+        record[m] = {
+            # "map" stays the headline (mean) curve for existing readers.
+            "map": [round(float(v), 4) for v in arr.mean(axis=0)],
+            "map_std": [round(float(v), 4) for v in arr.std(axis=0)],
+            "map_by_seed": {str(s): c for s, c in zip(seeds, curves)},
+            "final_map_by_seed": [c[-1] for c in curves],
+            "seeds": seeds,
+            "sessions": len(res["sessions"]),
+            "wall_s_per_seed": walls,
+            "n_rounds": len(res["map"]),
+            "user": f"label_prob={lp}, mistake_prob={mp}",
+            "gp_noise": args.gp_noise,
+            "mode": "cohort-fused (query_batch=7)",
         }
     os.makedirs(os.path.dirname(out_name), exist_ok=True)
     with open(out_name, "w") as fh:
