@@ -322,6 +322,75 @@ def corpus_density(state: GPState, *, block_rows: int = 2048) -> jax.Array:
     )
 
 
+def gp_updated_whitening(
+    state: GPState,
+    ind: jax.Array,
+    y_hyp: jax.Array,
+    valid: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Whitened form of the k-point block hypothetical update (no mutation).
+
+    Adding hypothetical observations ``(ind, y_hyp)`` with the GP's noise is,
+    in the whitened representation, just k extra rows on ``v``:
+
+        A  = K_post(ind, ind) + noise * I = La La^T        (k, k)
+        w  = La^-1 K_post(ind, corpus)                      (k, N)
+        g  = La^-1 (y_hyp - mu[ind])                        (k,)
+        mu'   = mu   + w^T g
+        sig2' = sig2 - sum_r w_r^2
+        K_post'(x, z) = k(x, z) - v_aug[:, x] . v_aug[:, z],
+                        v_aug = concat([v, w], axis=0)
+
+    so every downstream consumer of ``(mu, sig2, v)`` — EMOC column reductions,
+    MI joint covariances, further one-point updates — works unchanged on the
+    hypothetical posterior by substituting ``(mu', sig2', v_aug)``.  This is
+    the TPU-native generalization of the reference's ``updated_prediction``
+    (SURVEY.md section 3.4) from one point to arbitrary index blocks.
+
+    Args:
+      ind: (k,) corpus indices to hypothetically label.
+      y_hyp: (k,) hypothetical labels.
+      valid: optional (k,) bool — False rows are excluded (their ``w`` row and
+        mean shift are exactly zero), mirroring ``gp_update``'s skip semantics.
+
+    Returns ``(g, w)``; combine as above or use :func:`gp_updated_prediction`.
+    """
+    h = state.hyper
+    _, cov = gp_predict_full(state, ind)  # (k, k) posterior block
+    cross = gp_posterior_cov_columns(state, ind).T  # (k, N)
+    resid = y_hyp.astype(state.x.dtype) - state.mu[ind]
+    if valid is None:
+        valid = jnp.ones(ind.shape[0], bool)
+    cross = jnp.where(valid[:, None], cross, 0.0)
+    resid = jnp.where(valid, resid, 0.0)
+    la = chol_ops.padded_cholesky(cov, valid, h.noise)
+    w = chol_ops.tri_solve(la, cross)
+    g = chol_ops.tri_solve(la, resid[:, None])[:, 0]
+    return g, w
+
+
+def gp_updated_prediction(
+    state: GPState,
+    ind: jax.Array,
+    y_hyp: jax.Array,
+    valid: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Corpus-wide ``(mu', sig2')`` if the block ``(ind, y_hyp)`` were labeled.
+
+    Reference parity: ``GaussianProcess.updated_prediction`` over an arbitrary
+    index set (SURVEY.md section 3.4) — the reference's batch hypothetical
+    posterior, here in closed form against the whitened state (no refit, no
+    mutation).  Equals refitting with the block appended (tested vs the f64
+    oracle and vs ``gp_update``).
+    """
+    g, w = gp_updated_whitening(state, ind, y_hyp, valid)
+    mu = state.mu + jnp.dot(w.T, g, preferred_element_type=jnp.float32).astype(
+        state.x.dtype
+    )
+    sig2 = jnp.maximum(state.sig2 - jnp.sum(w * w, axis=0), 1e-8)
+    return mu, sig2
+
+
 def gp_updated_mean_delta(
     state: GPState, cand: jax.Array, y_hyp: jax.Array
 ) -> jax.Array:

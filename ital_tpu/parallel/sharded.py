@@ -229,6 +229,70 @@ def _sharded_emoc_scores(
     return exp_change / (state.sig2 + h.noise) * colabs
 
 
+def _sharded_emoc_batch_scores(
+    state: GPState, batch: jax.Array, t: int, params: StrategyParams,
+    pad_local: jax.Array,
+) -> jax.Array:
+    """Batch EMOC on the mesh (mirror of ``select_emoc_batch``).
+
+    The block hypothetical update runs shard-locally from replicated gathered
+    block quantities: the (t, t) posterior block and its Cholesky are
+    replicated (psum gathers), while the whitening extension ``w`` is computed
+    per shard against the local columns — exactly the layout of
+    ``gp_updated_whitening`` with ``v`` corpus-column-sharded.  The column
+    reduction then rides the same ICI ring as one-point EMOC, with ``v``
+    augmented by the ``w`` rows.
+    """
+    from ital_tpu.ops.chol import padded_cholesky, tri_solve
+    from ital_tpu.ops.kernels import rbf_kernel
+    from ital_tpu.parallel.ring import ring_reduce_over_corpus
+    from ital_tpu.select.baselines import _phi
+
+    if t == 0:
+        return _sharded_emoc_scores(state, params, pad_local)
+
+    h = state.hyper
+    bsel = batch[:t]
+    xb = gather_rows(state.x, bsel)  # (t, D) replicated
+    vb = gather_cols(state.v, bsel)  # (cap, t) replicated
+    mu_b = gather_scalars(state.mu, bsel)  # (t,) replicated
+    cov_bb = rbf_kernel(xb, xb, h.length_scale, h.var) - vb.T @ vb
+    k_bc = rbf_kernel(xb, state.x, h.length_scale, h.var)  # (t, shard_n)
+    cross = k_bc - jnp.dot(
+        vb.T, state.v, preferred_element_type=jnp.float32
+    ).astype(state.mu.dtype)
+
+    y_hyp = jnp.where(mu_b >= 0.0, 1.0, -1.0)
+    la = padded_cholesky(cov_bb, jnp.ones(t, bool), h.noise)  # replicated
+    w = tri_solve(la, cross)  # (t, shard_n) local
+    g = tri_solve(la, (y_hyp - mu_b)[:, None])[:, 0]  # replicated
+    mu_h = state.mu + jnp.dot(
+        w.T, g, preferred_element_type=jnp.float32
+    ).astype(state.mu.dtype)
+    sig2_h = jnp.maximum(state.sig2 - jnp.sum(w * w, axis=0), 1e-8)
+    v_aug = jnp.concatenate([state.v, w], axis=0)  # (cap + t, shard_n)
+
+    valid_local = 1.0 - pad_local.astype(state.mu.dtype)
+    xc = state.x
+
+    def acc_fn(acc, blk):
+        xb2, vtb, valid_b = blk
+        k = rbf_kernel(xb2, xc, h.length_scale, h.var)
+        k_post = k - jnp.dot(vtb, v_aug, preferred_element_type=jnp.float32).astype(
+            state.mu.dtype
+        )
+        return acc + jnp.sum(jnp.abs(k_post) * valid_b[:, None], axis=0)
+
+    colabs = ring_reduce_over_corpus(
+        (state.x, v_aug.T, valid_local),
+        acc_fn,
+        jnp.zeros(xc.shape[0], state.mu.dtype),
+    )
+    p_pos = _phi(mu_h / jnp.sqrt(sig2_h))
+    exp_change = p_pos * jnp.abs(1.0 - mu_h) + (1 - p_pos) * jnp.abs(-1.0 - mu_h)
+    return exp_change / (sig2_h + h.noise) * colabs
+
+
 def _sharded_mcmi_scores(
     state: GPState, params: StrategyParams, pad_local: jax.Array
 ) -> jax.Array:
@@ -534,9 +598,16 @@ def _check_mi_batch(strategy: str, batch_size: int) -> None:
             )
 
 
-def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks):
+def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
+                     *, defer_update=False):
     """The shard-local feedback-round body shared by the per-round and
-    fused-session entry points (call only inside ``shard_map``)."""
+    fused-session entry points (call only inside ``shard_map``).
+
+    ``defer_update=True`` stops after user feedback and returns
+    ``(batch, y, valid)`` (all replicated) instead of updating the GP — the
+    large-cap path (:mod:`ital_tpu.parallel.bigcap`) absorbs the labels with a
+    distributed chol2d refit outside this shard_map, since its ``l`` factor is
+    row-sharded rather than replicated."""
 
     def _round(state, key, relevant, sel_forbid, ap_exclude, params):
         k_sel, k_user = jax.random.split(key)
@@ -576,6 +647,8 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks):
                 scores = _sharded_regression_scores(state, batch, t, params)
             elif strategy == "emoc":
                 scores = _sharded_emoc_scores(state, params, pad_local) if t == 0 else scores
+            elif strategy == "emoc_batch":
+                scores = _sharded_emoc_batch_scores(state, batch, t, params, pad_local)
             elif strategy == "mcmi_min":
                 scores = _sharded_mcmi_scores(state, params, pad_local) if t == 0 else scores
             elif strategy in _DIVERSITY_BASES:
@@ -603,6 +676,9 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks):
         y, valid = simulate_feedback(
             k_user, batch, relevant, params.label_prob, params.mistake_prob
         )
+
+        if defer_update:
+            return batch, y, valid
 
         # --- GP update through the regular code path, collective gather ---
         state = gp_mod.gp_update(

@@ -234,11 +234,13 @@ def _run_session(
     return curve
 
 
-def _relearn_hyperparams(state, cfg: ExperimentConfig):
+def _relearn_hyperparams(state, cfg: ExperimentConfig, refit=None):
     """Online type-II ML: re-learn hyperparameters from the session's labels
     so far, then refit the posterior (models/hyperopt.py).  Shared by the
     serial and per-round sharded paths — their trajectory equality is tested
-    (tests/test_hyperopt.py), so keep them on this one code path."""
+    (tests/test_hyperopt.py), so keep them on this one code path.  ``refit``
+    overrides the posterior refit (the large-cap path substitutes its
+    distributed chol2d fit)."""
     from ital_tpu.models.hyperopt import fit_hyperparams
 
     hyper = fit_hyperparams(
@@ -246,7 +248,8 @@ def _relearn_hyperparams(state, cfg: ExperimentConfig):
         steps=cfg.gp.learn_steps, lr=cfg.gp.learn_lr,
         learn_noise=cfg.gp.learn_noise,
     )
-    return gp_mod.gp_fit(state.replace(hyper=hyper))
+    refit = refit or gp_mod.gp_fit
+    return refit(state.replace(hyper=hyper))
 
 
 def _hyper_log_fields(state, cfg: ExperimentConfig) -> Dict[str, float]:
@@ -660,6 +663,16 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             "fused": True,
         }
 
+    # Large-cap mode: at/above GPConfig.chol2d_threshold the per-round step
+    # absorbs labels via the distributed chol2d refit (parallel/bigcap.py) —
+    # the production caller of the TP-analog (VERDICT r2 item 4).
+    bigcap = bool(
+        not fused
+        and cfg.gp.chol2d_threshold
+        and cfg.cap >= cfg.gp.chol2d_threshold
+        and cfg.cap % n_dev == 0
+    )
+    bigcap_refit = None
     if fused:
         from ital_tpu.parallel.sharded import make_sharded_session
 
@@ -671,6 +684,22 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
         )
+    elif bigcap:
+        from ital_tpu.parallel.bigcap import (
+            make_bigcap_fit, make_bigcap_round, shard_state_bigcap,
+        )
+
+        print(f"# cap={cfg.cap} >= chol2d_threshold={cfg.gp.chol2d_threshold}: "
+              f"distributed chol2d refit path (l row-sharded over {n_dev} devices)")
+        round_fn = make_bigcap_round(
+            mesh,
+            strategy=cfg.method,
+            batch_size=cfg.batch_size,
+            n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
+            pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
+            recall_ks=RECALL_KS,
+        )
+        bigcap_refit = make_bigcap_fit(mesh)
     else:
         round_fn = make_sharded_round(
             mesh,
@@ -730,7 +759,8 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
                         state, extras = ckpt.load_session(ckpt_path, state)
                         curve = [float(v) for v in extras["curve"]]
                         start_round = int(extras["next_round"])
-                state = shard_state(state, mesh)
+                state = (shard_state_bigcap(state, mesh) if bigcap
+                         else shard_state(state, mesh))
                 for rnd in range(start_round, cfg.n_rounds):
                     rkey = jax.random.fold_in(skey, rnd)
                     with timer.span("round"):
@@ -742,10 +772,16 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
                         # Same relearn as the serial path — the labeled
                         # buffers are replicated and x's rows auto-gather
                         # under jit — then re-shard the refit output to the
-                        # round_fn's expected layout.
-                        state = shard_state(
-                            _relearn_hyperparams(state, cfg), mesh
-                        )
+                        # round_fn's expected layout.  The bigcap path refits
+                        # with its distributed chol2d fit (layouts preserved).
+                        if bigcap:
+                            state = _relearn_hyperparams(
+                                state, cfg, refit=bigcap_refit
+                            )
+                        else:
+                            state = shard_state(
+                                _relearn_hyperparams(state, cfg), mesh
+                            )
                     curve.append(float(ap))
                     logger.log(
                         rep=rep, cls=c, query=q, round=rnd, ap=float(ap),
@@ -776,4 +812,5 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
         "method": cfg.method,
         "mesh_devices": n_dev,
         **({"fused": True} if fused else {}),
+        **({"chol2d": True} if bigcap else {}),
     }

@@ -245,6 +245,47 @@ def select_emoc(state, batch_size, key, params: StrategyParams):
     return greedy_argmax_batch(lambda b, t: scores, state, batch_size)
 
 
+@register("emoc_batch")
+def select_emoc_batch(state, batch_size, key, params: StrategyParams):
+    """Batch EMOC: greedy expected-model-output-change given the partial batch.
+
+    Each greedy step re-scores every candidate against the posterior as if the
+    already-chosen batch members were labeled with their most-probable labels
+    (``sign(mu)``), via the block hypothetical update
+    (:func:`ital_tpu.models.gp.gp_updated_whitening` — reference
+    ``updated_prediction`` over an index block, SURVEY.md section 3.4).  In
+    the whitened representation the hypothetical posterior is just ``t`` extra
+    rows on ``v``, so the step cost stays one blockwise column reduction; at
+    t=0 this is exactly :func:`select_emoc` (tested).
+    """
+    del key
+    from ital_tpu.models.gp import gp_updated_whitening
+
+    n = state.x.shape[0]
+
+    def score(batch, t):
+        if t == 0:
+            mu_h, sig2_h, v_aug = state.mu, state.sig2, state.v
+        else:
+            ind = batch[:t]
+            y_hyp = jnp.where(state.mu[ind] >= 0.0, 1.0, -1.0)
+            g, w = gp_updated_whitening(state, ind, y_hyp)
+            mu_h = state.mu + jnp.dot(
+                w.T, g, preferred_element_type=jnp.float32
+            ).astype(state.x.dtype)
+            sig2_h = jnp.maximum(state.sig2 - jnp.sum(w * w, axis=0), 1e-8)
+            v_aug = jnp.concatenate([state.v, w], axis=0)
+        colabs = blockwise_reduce_abs_kpost(
+            state.x, v_aug, jnp.arange(n),
+            state.hyper.length_scale, state.hyper.var,
+        )
+        p_pos = _phi(mu_h / jnp.sqrt(sig2_h))
+        exp_change = p_pos * jnp.abs(1.0 - mu_h) + (1 - p_pos) * jnp.abs(-1.0 - mu_h)
+        return exp_change / (sig2_h + state.hyper.noise) * colabs
+
+    return greedy_argmax_batch(score, state, batch_size)
+
+
 @register("mcmi_min")
 def select_mcmi_min(state, batch_size, key, params: StrategyParams, *, block: int = 512):
     """MCMI[min] (Guo & Greiner): pick the candidate whose worst-case label

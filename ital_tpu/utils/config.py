@@ -20,6 +20,12 @@ class GPConfig:
     var: float = 1.0
     noise: float = 0.1
     cap: int = 64  # labeled-slot capacity; 0 = auto (1 + n_rounds * batch_size)
+    # Labeled-slot capacity at/above which the sharded per-round path absorbs
+    # labels with the DISTRIBUTED chol2d refit (l row-sharded over the mesh,
+    # parallel/bigcap.py) instead of the replicated incremental append.
+    # 0 disables.  Only the per-round sharded mode switches; fused/cohort
+    # modes keep the replicated append (their per-session factor is small).
+    chol2d_threshold: int = 1024
     # Online type-II ML (models/hyperopt.py): re-learn hyperparameters from the
     # session's labels every ``learn_every`` feedback rounds (0 = fixed, the
     # reference behavior), then refit the posterior.  Supported on the serial

@@ -69,3 +69,18 @@ def test_diversity_penalty_is_max_over_union():
     base = jnp.asarray([0.0, 100.0, 0.0, 0.0], jnp.float32)  # C first
     batch = np.asarray(_diversity_greedy(state, 2, base, jnp.asarray(1.0)))
     assert list(batch) == [1, 2], batch
+
+
+def test_emoc_batch_first_pick_matches_emoc(fitted_state):
+    """At t=0 batch EMOC is exactly one-point EMOC (empty hypothetical batch),
+    so the two strategies' first greedy picks must coincide; later picks use
+    the block hypothetical update and may legitimately differ."""
+    from ital_tpu.select.baselines import select_emoc, select_emoc_batch
+
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.9), mistake_prob=jnp.asarray(0.05)
+    )
+    key = jax.random.PRNGKey(0)
+    b_one = np.asarray(select_emoc(fitted_state, 3, key, params))
+    b_blk = np.asarray(select_emoc_batch(fitted_state, 3, key, params))
+    assert b_one[0] == b_blk[0]

@@ -147,3 +147,87 @@ def test_update_fills_capacity_exactly(rng):
     ref = gp_mod.gp_fit(inc)
     np.testing.assert_allclose(np.asarray(inc.mu), np.asarray(ref.mu), atol=1e-3)
     np.testing.assert_allclose(np.asarray(inc.sig2), np.asarray(ref.sig2), atol=1e-3)
+
+
+def test_block_updated_prediction_matches_oracle_refit(rng):
+    """VERDICT r2 item 8: gp_updated_prediction over an arbitrary k-point block
+    equals the f64 oracle refit with the block appended (SURVEY section 3.4 —
+    the reference's updated_prediction takes index sets, not just one point)."""
+    x, state, oracle = _setup(rng)
+    lab = [3, 17, 42, 55, 70]
+    ys = [1.0, -1.0, 1.0, -1.0, 1.0]
+    state = state.replace(
+        idx=state.idx.at[: len(lab)].set(jnp.asarray(lab, jnp.int32)),
+        y=state.y.at[: len(lab)].set(jnp.asarray(ys, jnp.float32)),
+        valid=state.valid.at[: len(lab)].set(True),
+        count=jnp.asarray(len(lab), jnp.int32),
+    )
+    state = gp_mod.gp_fit(state)
+    oracle.fit(lab, ys)
+
+    block = [8, 25, 61]
+    y_hyp = [1.0, 1.0, -1.0]
+    mu_h, sig2_h = gp_mod.gp_updated_prediction(
+        state, jnp.asarray(block, jnp.int32), jnp.asarray(y_hyp, jnp.float32)
+    )
+    oracle.fit(lab + block, ys + y_hyp)
+    mu_o, sig2_o = oracle.predict_diag()
+    np.testing.assert_allclose(np.asarray(mu_h), mu_o, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sig2_h), sig2_o, rtol=5e-3, atol=1e-2)
+
+
+def test_block_updated_prediction_valid_mask(rng):
+    """Invalid rows of the hypothetical block are mathematically absent."""
+    x, state, oracle = _setup(rng)
+    state = gp_mod.gp_set_query(state, jnp.asarray(5))
+
+    block = jnp.asarray([20, 33, 47], jnp.int32)
+    y_hyp = jnp.asarray([1.0, -1.0, 1.0], jnp.float32)
+    valid = jnp.asarray([True, False, True])
+    mu_m, sig2_m = gp_mod.gp_updated_prediction(state, block, y_hyp, valid)
+    mu_s, sig2_s = gp_mod.gp_updated_prediction(
+        state, block[jnp.asarray([0, 2])], y_hyp[jnp.asarray([0, 2])]
+    )
+    np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sig2_m), np.asarray(sig2_s), atol=1e-5)
+
+
+def test_block_updated_prediction_one_point_consistency(rng):
+    """k=1 block update reproduces the closed-form one-point mean delta."""
+    x, state, oracle = _setup(rng)
+    state = gp_mod.gp_set_query(state, jnp.asarray(2))
+    cand = jnp.asarray(40)
+    delta = gp_mod.gp_updated_mean_delta(state, cand, jnp.asarray(1.0))
+    mu_h, _ = gp_mod.gp_updated_prediction(
+        state, cand[None], jnp.ones((1,), jnp.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(mu_h - state.mu), np.asarray(delta), atol=1e-5
+    )
+
+
+def test_block_updated_whitening_composes(rng):
+    """The augmented whitened state (v + w rows) reproduces the updated
+    posterior covariance: a second hypothetical update on top of the first
+    equals one update with the union block — the property batch-EMOC uses."""
+    x, state, oracle = _setup(rng)
+    state = gp_mod.gp_set_query(state, jnp.asarray(9))
+
+    b1 = jnp.asarray([14, 28], jnp.int32)
+    y1 = jnp.asarray([1.0, -1.0], jnp.float32)
+    g1, w1 = gp_mod.gp_updated_whitening(state, b1, y1)
+    state_h = state.replace(
+        v=jnp.concatenate([state.v, w1], axis=0),
+        l=jnp.eye(state.cap + 2, dtype=state.l.dtype),  # placeholder (unused)
+        beta=jnp.zeros((state.cap + 2,), state.beta.dtype),  # placeholder
+        mu=state.mu + w1.T @ g1,
+        sig2=jnp.maximum(state.sig2 - jnp.sum(w1 * w1, axis=0), 1e-8),
+    )
+    b2 = jnp.asarray([52], jnp.int32)
+    y2 = jnp.asarray([1.0], jnp.float32)
+    mu_seq, sig2_seq = gp_mod.gp_updated_prediction(state_h, b2, y2)
+    mu_joint, sig2_joint = gp_mod.gp_updated_prediction(
+        state, jnp.concatenate([b1, b2]), jnp.concatenate([y1, y2])
+    )
+    np.testing.assert_allclose(np.asarray(mu_seq), np.asarray(mu_joint), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sig2_seq), np.asarray(sig2_joint), atol=1e-4)

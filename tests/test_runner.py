@@ -138,14 +138,25 @@ def test_golden_toy_curve():
 
 
 @pytest.mark.slow
-def test_oracle_end_to_end_map_curve_parity():
+@pytest.mark.parametrize(
+    "label_prob,mistake_prob",
+    [(0.9, 0.05), (0.6, 0.15)],
+    ids=["light-noise", "heavy-noise"],
+)
+def test_oracle_end_to_end_map_curve_parity(label_prob, mistake_prob):
     """SURVEY section 4 item 6 / VERDICT r1 item 3 — the strongest parity
     statement available while the reference mount is empty: a FULL interactive
     session (fit -> greedy ITAL selection -> noisy user -> refit -> AP, six
     rounds) through the dense f64 NumPy oracle and through the TPU path, with
     identical seeded user realizations.  Selected batches must match round by
     round and the AP curves must agree, so the golden-curve files are no longer
-    the primary end-to-end evidence."""
+    the primary end-to-end evidence.
+
+    The heavy-noise case (lp=0.6/mp=0.15 — the regime of the round-2
+    MIRFLICKR contradiction, VERDICT r2 item 1) pins that the implementation
+    tracks the oracle under heavy noise too: any MAP behavior seen at
+    MIRFLICKR scale under this user model is then a data/statistics effect,
+    not a selection-path divergence (docs/NOISE_ANALYSIS.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -163,7 +174,6 @@ def test_oracle_end_to_end_map_curve_parity():
     relevant = ds.relevance[:, cls].astype(bool)
     ls, var, noise = 1.5, 1.0, 0.1
     batch_size, n_rounds = 2, 6
-    label_prob, mistake_prob = 0.9, 0.05
 
     # TPU path state
     state = gp_mod.gp_init(jnp.asarray(ds.x), ls, var, noise, cap=24)
@@ -228,7 +238,10 @@ def test_oracle_end_to_end_map_curve_parity():
         )
 
     np.testing.assert_allclose(curve_tpu, curve_oracle, atol=5e-3)
-    assert curve_tpu[-1] > curve_tpu[0] - 0.05  # the session actually learns
+    if mistake_prob <= 0.05:
+        # Under heavy label noise learning is not monotone (that's the
+        # phenomenon under study); the parity assertion above is the test.
+        assert curve_tpu[-1] > curve_tpu[0] - 0.05  # the session actually learns
 
 
 def test_regression_experiment_reduces_rmse():

@@ -281,14 +281,15 @@ def test_every_registered_strategy_sharded(strategy):
     )
 
     assert (np.asarray(batch_m) < ds.n).all()
-    if strategy in ("emoc", "mcmi_min"):
-        np.testing.assert_allclose(float(ap_m), float(ap_ref), atol=5e-2)
-    else:
-        np.testing.assert_array_equal(np.asarray(batch_m), np.asarray(batch_ref))
-        np.testing.assert_allclose(
-            np.asarray(state_m.mu), np.asarray(state_ref.mu), atol=2e-3
-        )
-        np.testing.assert_allclose(float(ap_m), float(ap_ref), atol=2e-3)
+    # VERDICT r2 item 5: no loose AP tolerances — every strategy (including
+    # the ring-reduced EMOC/MCMI, whose score-level equality is separately
+    # pinned at rtol 2e-3 above) must pick the exact same batch as the
+    # single-device path on the warmed posterior.
+    np.testing.assert_array_equal(np.asarray(batch_m), np.asarray(batch_ref))
+    np.testing.assert_allclose(
+        np.asarray(state_m.mu), np.asarray(state_ref.mu), atol=2e-3
+    )
+    np.testing.assert_allclose(float(ap_m), float(ap_ref), atol=2e-3)
 
 
 def test_sharded_density_matches_single_device():
