@@ -757,6 +757,7 @@ def make_sharded_session(
     n_rounds: int = 10,
     n_qmc: int = 128,
     pool_size: int = 0,
+    learn=None,
 ):
     """Whole SESSION fused on the mesh: all ``n_rounds`` in one device program.
 
@@ -780,7 +781,7 @@ def make_sharded_session(
     inner_round = _make_round_body(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=()
     )
-    _session = _fused_session_body(inner_round, n_rounds)
+    _session = _fused_session_body(inner_round, n_rounds, learn=learn)
 
     def session(state, skey, relevant, sel_forbid, ap_exclude, params):
         specs = state_pspecs(state)
@@ -796,11 +797,33 @@ def make_sharded_session(
     return jax.jit(session)
 
 
-def _fused_session_body(inner_round, n_rounds: int):
+def _fused_session_body(inner_round, n_rounds: int, learn=None):
     """Shared fused-session body: ``fori_loop`` over rounds with
     ``fold_in(skey, round)`` key derivation — the ONE place the per-round key
     and AP accumulation are defined for both the fused-session and cohort
-    entry points (their tested 'identical curves' invariant depends on it)."""
+    entry points (their tested 'identical curves' invariant depends on it).
+
+    ``learn=(learn_every, steps, lr, learn_noise)`` enables online type-II-ML
+    hyperparameter relearning inside the fused loop (VERDICT r2 item 6): the
+    labeled features are assembled with the same collective gather the round
+    body uses, the ascent runs replicated (identical inputs on every chip),
+    and the refit is ``gp_fit`` with the collective gather — same cadence and
+    position (after the round's AP) as the serial path."""
+    learn_every = int(learn[0]) if learn else 0
+
+    def _relearn(st):
+        from ital_tpu.models.hyperopt import fit_hyperparams
+
+        _, steps, lr, learn_noise = learn
+        xl = gather_rows(st.x, st.idx)
+        hyper = fit_hyperparams(
+            xl, st.y, st.active, st.hyper,
+            steps=int(steps), lr=float(lr), learn_noise=bool(learn_noise),
+        )
+        return gp_mod.gp_fit(
+            st.replace(hyper=hyper),
+            gather=lambda gidx: gather_rows(st.x, gidx),
+        )
 
     def _session(state, skey, relevant, sel_forbid, ap_exclude, params):
         def body(rnd, carry):
@@ -809,6 +832,10 @@ def _fused_session_body(inner_round, n_rounds: int):
             st, _batch, ap, _ = inner_round(
                 st, rkey, relevant, sel_forbid, ap_exclude, params
             )
+            if learn_every:
+                st = jax.lax.cond(
+                    (rnd + 1) % learn_every == 0, _relearn, lambda s: s, st
+                )
             return st, aps.at[rnd].set(ap)
 
         aps0 = jnp.zeros((n_rounds,), state.mu.dtype)
@@ -822,13 +849,16 @@ def _fused_session_body(inner_round, n_rounds: int):
 # ---------------------------------------------------------------------------
 
 
-def _cohort_state_axes() -> GPState:
+def _cohort_state_axes(learn: bool = False) -> GPState:
     """vmap axes for a cohort of sessions sharing one corpus shard: every
-    per-session leaf batches on axis 0; the shard's feature rows, density and
-    the (scalar) hyperparameters are shared."""
+    per-session leaf batches on axis 0; the shard's feature rows and density
+    are shared.  Hyperparameters are shared scalars normally, but become
+    per-session (batched) when online hyperparameter learning is on."""
+    hyper = (gp_mod.GPHyper(length_scale=0, var=0, noise=0) if learn
+             else gp_mod.GPHyper(length_scale=None, var=None, noise=None))
     return GPState(
         x=None, idx=0, y=0, valid=0, count=0, l=0, beta=0, v=0, mu=0, sig2=0,
-        hyper=gp_mod.GPHyper(length_scale=None, var=None, noise=None),
+        hyper=hyper,
         density=None,
     )
 
@@ -867,6 +897,7 @@ def make_sharded_cohort(
     n_rounds: int = 10,
     n_qmc: int = 128,
     pool_size: int = 0,
+    learn=None,
 ):
     """COHORT of fused sessions on the mesh: ``query_batch`` retrieval sessions,
     each running ALL ``n_rounds`` of feedback, in ONE device program.
@@ -889,9 +920,9 @@ def make_sharded_cohort(
     inner_round = _make_round_body(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=()
     )
-    axes = _cohort_state_axes()
+    axes = _cohort_state_axes(learn=bool(learn and learn[0]))
     _cohort_local = jax.vmap(
-        _fused_session_body(inner_round, n_rounds),
+        _fused_session_body(inner_round, n_rounds, learn=learn),
         in_axes=(axes, 0, 0, None, 0, None),
         out_axes=(axes, 0),
     )

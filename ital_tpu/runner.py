@@ -88,12 +88,6 @@ def run_experiment(
     if dataset is None:
         dataset = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
     _check_capacity(cfg)
-    if cfg.gp.learn_every and (
-        (cfg.query_batch and cfg.query_batch > 1) or cfg.fused_sessions
-    ):
-        print("# GP.learn_every (online hyperparameter learning) is a "
-              "per-round feature and is ignored on the vmapped/fused/cohort "
-              "paths (supported: serial and per-round sharded)")
     if cfg.mesh_devices:
         return run_experiment_sharded(cfg, dataset)
     if cfg.query_batch and cfg.query_batch > 1:
@@ -325,10 +319,17 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
     mistake_prob = jnp.asarray(cfg.user.mistake_prob)
 
     # Per-session state axes: every leaf of GPState EXCEPT the shared corpus x
-    # and the (scalar pytree) hyperparameters.
+    # and the hyperparameters — which become PER-SESSION (batched) when online
+    # hyperparameter learning is on, since each session then learns its own.
+    learn_every = int(cfg.gp.learn_every or 0)
+    hyper_axes = (
+        gp_mod.GPHyper(length_scale=0, var=0, noise=0)
+        if learn_every
+        else gp_mod.GPHyper(length_scale=None, var=None, noise=None)
+    )
     state_axes = gp_mod.GPState(
         x=None, idx=0, y=0, valid=0, count=0, l=0, beta=0, v=0, mu=0, sig2=0,
-        hyper=gp_mod.GPHyper(length_scale=None, var=None, noise=None),
+        hyper=hyper_axes,
         density=None,  # shared (unbatched) when present
     )
 
@@ -348,16 +349,28 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             )
         )
 
-    def one_round(state, key, relevant, exclude):
+    def one_round(state, key, relevant, exclude, do_learn):
         k_sel, k_user = jax.random.split(key)
         batch = select(state, cfg.batch_size, k_sel, params, **method_kwargs)
         y, valid = simulate_feedback(k_user, batch, relevant, label_prob, mistake_prob)
         state = gp_mod.gp_update(state, batch, y, valid)
         ap = average_precision(state.mu, relevant, exclude)
+        if learn_every:
+            # Same cadence/position as the serial path (after this round's AP).
+            state = jax.lax.cond(
+                do_learn,
+                lambda s: _relearn_hyperparams(s, cfg),
+                lambda s: s,
+                state,
+            )
         return state, ap
 
     round_v = jax.jit(
-        jax.vmap(one_round, in_axes=(state_axes, 0, 0, 0), out_axes=(state_axes, 0))
+        jax.vmap(
+            one_round,
+            in_axes=(state_axes, 0, 0, 0, None),
+            out_axes=(state_axes, 0),
+        )
     )
 
     plan = _session_plan(cfg, dataset)
@@ -393,8 +406,11 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             continue
         for rnd in range(cfg.n_rounds):
             rkeys = jax.vmap(lambda sk: jax.random.fold_in(sk, rnd))(skeys)
+            do_learn = jnp.asarray(
+                bool(learn_every) and (rnd + 1) % learn_every == 0
+            )
             with timer.span("round"):
-                state, ap = round_v(state, rkeys, relevant, exclude)
+                state, ap = round_v(state, rkeys, relevant, exclude, do_learn)
                 ap.block_until_ready()
             ap_rows[chunk_start : chunk_start + k, rnd] = np.asarray(ap)[:k]
             for j, (rep, c, q, _) in enumerate(chunk):
@@ -424,9 +440,16 @@ def make_fused_session_fn(cfg: ExperimentConfig):
     observability is the trade-off).  Returns
     ``session_fn(state_after_query, skey, relevant, exclude) -> (state, aps)``
     with ``aps`` the (n_rounds,) AP curve.
+
+    ``GP.learn_every`` is supported inside the fused program (VERDICT r2
+    item 6): the type-II-ML ascent is a ``lax.scan`` and the refit a plain
+    ``gp_fit``, so the relearn rides in a ``lax.cond`` on the round index —
+    same cadence and position as the serial path (after the round's AP is
+    computed), so curves match serial runs exactly (tested).
     """
     select = get_strategy(cfg.method)
     static_kwargs = {k: v for k, v in cfg.method_kwargs.items() if k != "tradeoff"}
+    learn_every = int(cfg.gp.learn_every or 0)
 
     def session_fn(state, skey, relevant, exclude, params):
         def body(rnd, carry):
@@ -439,6 +462,13 @@ def make_fused_session_fn(cfg: ExperimentConfig):
             )
             state = gp_mod.gp_update(state, batch, y, valid)
             ap = average_precision(state.mu, relevant, exclude)
+            if learn_every:
+                state = jax.lax.cond(
+                    (rnd + 1) % learn_every == 0,
+                    lambda s: _relearn_hyperparams(s, cfg),
+                    lambda s: s,
+                    state,
+                )
             return state, aps.at[rnd].set(ap)
 
         aps0 = jnp.zeros((cfg.n_rounds,), state.mu.dtype)
@@ -591,6 +621,13 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
     if fused and (cfg.checkpoint_dir or cfg.resume):
         print("# fused_sessions runs each session as one device program; "
               "checkpoint_dir/resume are per-round features and are ignored")
+    # Online hyperparameter learning rides inside the fused/cohort device
+    # programs too (lax.cond on the round index; VERDICT r2 item 6).
+    learn = (
+        (cfg.gp.learn_every, cfg.gp.learn_steps, cfg.gp.learn_lr,
+         cfg.gp.learn_noise)
+        if cfg.gp.learn_every else None
+    )
 
     qb = int(cfg.query_batch or 0)
     if qb > 1:
@@ -611,10 +648,11 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             n_rounds=cfg.n_rounds,
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
+            learn=learn,
         )
         set_query_v = jax.jit(
             jax.vmap(gp_mod.gp_set_query, in_axes=(None, 0),
-                     out_axes=_cohort_state_axes())
+                     out_axes=_cohort_state_axes(learn=bool(learn)))
         )
         plan = _session_plan(cfg, dataset)
         logger = JsonlLogger(cfg.log_jsonl)
@@ -683,6 +721,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             n_rounds=cfg.n_rounds,
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
+            learn=learn,
         )
     elif bigcap:
         from ital_tpu.parallel.bigcap import (

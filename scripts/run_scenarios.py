@@ -44,7 +44,14 @@ def main() -> int:
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--out", default="results")
     parser.add_argument("--only", default=None, help="substring filter on scenario name")
+    parser.add_argument(
+        "--seeds", default="0,1,2",
+        help="comma-separated seeds; recorded MAP rows are mean +/- std over "
+             "them (single-seed ordering claims are noise at this scale — "
+             "VERDICT r2).  Pass one seed for a smoke pass.",
+    )
     args = parser.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",")]
 
     from ital_tpu.runner import run_experiment
     from ital_tpu.utils.config import load_config
@@ -63,28 +70,44 @@ def main() -> int:
         ov = overrides + (QUICK_OVERRIDES if args.quick else ())
         cfg = load_config(cfg_path, ov)
         print(f"== {name} ({cfg.dataset}, {cfg.method}, b={cfg.batch_size}, "
-              f"{cfg.n_rounds} rounds)")
+              f"{cfg.n_rounds} rounds, seeds={seeds})")
         t0 = time.time()
+        curves, select_ms = [], []
         try:
-            res = run_experiment(cfg)
+            for seed in seeds:
+                res = run_experiment(
+                    load_config(cfg_path, ov + (f"EXPERIMENT.seed={seed}",))
+                )
+                curves.append([round(float(v), 4) for v in res["map"]])
+                select_ms.append(res["select_ms"])
         except Exception as exc:  # record the failure, keep going
             summary[name] = {"error": f"{type(exc).__name__}: {exc}"}
             print(f"   ERROR {exc}")
             continue
+        import numpy as np
+
+        arr = np.asarray(curves)
         rec = {
             "dataset": res["dataset"],
             "method": res["method"],
             "sessions": len(res["sessions"]),
-            "map": [round(float(v), 4) for v in res["map"]],
-            "select_ms": round(res["select_ms"], 2),
+            # Headline "map" is the cross-seed mean; std quantifies it.
+            "map": [round(float(v), 4) for v in arr.mean(axis=0)],
+            "map_std": [round(float(v), 4) for v in arr.std(axis=0)],
+            "map_by_seed": {str(s): c for s, c in zip(seeds, curves)},
+            "select_ms": round(float(np.mean(select_ms)), 2),
             "wall_s": round(time.time() - t0, 1),
             # Full provenance so smoke runs are distinguishable from evidence.
             "n_rounds": cfg.n_rounds,
             "batch_size": cfg.batch_size,
             "queries_per_class": cfg.queries_per_class,
-            "seed": cfg.seed,
+            "seeds": seeds,
             "quick": bool(args.quick),
             "overrides": list(ov),
+            # Execution provenance (VERDICT r2: the config-5 record must say
+            # how many devices actually ran).
+            **{k: res[k] for k in ("mesh_devices", "query_batch", "fused",
+                                   "chol2d") if k in res},
         }
         summary[name] = rec
         with open(os.path.join(args.out, f"{name}.json"), "w") as fh:

@@ -148,3 +148,54 @@ def test_snapshot_restore_over_http(server):
     # Restored sessions keep working: another feedback round applies cleanly.
     code, b2 = _req(f"{server}/sessions/{sid2}/batch?k=2")
     assert code == 200 and len(b2["batch"]) == 2
+
+
+def test_batch_select_cohort_matches_individual(server):
+    """POST /batch_select (vmapped cohort selection over HTTP) returns the
+    same batches as per-session GET /batch for identically-prepared sessions
+    (ital selection is deterministic given the posterior)."""
+    sids, singles = [], {}
+    for q in (3, 47, 85):
+        _, r = _req(f"{server}/sessions", "POST", {})
+        sid = r["session_id"]
+        _req(f"{server}/sessions/{sid}/query", "POST", {"index": q})
+        # Warm the posterior with several spread labels so MI scores separate
+        # beyond fp noise (saturated-plateau argmax ties are ULP-sensitive
+        # between the vmapped and serial programs — CLAUDE.md "MI ties").
+        _req(f"{server}/sessions/{sid}/feedback", "POST",
+             {"labels": {str((q + 11) % 120): 1, str((q + 31) % 120): 1,
+                         str((q + 60) % 120): -1, str((q + 90) % 120): -1}})
+        sids.append(sid)
+
+    # Reference: individual per-session selection on three twin sessions
+    # (prepared identically; selection does not mutate state).
+    for sid, q in zip(sids, (3, 47, 85)):
+        code, r = _req(f"{server}/sessions/{sid}/batch?k=3")
+        assert code == 200
+        singles[sid] = r["batch"]
+
+    code, r = _req(f"{server}/batch_select", "POST",
+                   {"session_ids": sids, "k": 3})
+    assert code == 200
+    assert r["batches"] == singles
+
+    # Unknown session id in the group -> 404, not a server error.
+    code, _ = _req(f"{server}/batch_select", "POST",
+                   {"session_ids": ["nope"], "k": 2})
+    assert code == 404
+
+
+def test_batch_select_mixed_capacity_falls_back(server):
+    """Sessions with different caps can't stack; the endpoint silently falls
+    back to per-session selection with identical semantics."""
+    _, r1 = _req(f"{server}/sessions", "POST", {})
+    _, r2 = _req(f"{server}/sessions", "POST", {"cap": 16})
+    for sid, q in ((r1["session_id"], 7), (r2["session_id"], 90)):
+        _req(f"{server}/sessions/{sid}/query", "POST", {"index": q})
+    code, r = _req(f"{server}/batch_select", "POST",
+                   {"session_ids": [r1["session_id"], r2["session_id"]],
+                    "k": 2})
+    assert code == 200
+    assert set(r["batches"]) == {r1["session_id"], r2["session_id"]}
+    for b in r["batches"].values():
+        assert len(b) == 2
