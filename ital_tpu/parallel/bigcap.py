@@ -142,7 +142,7 @@ def make_bigcap_round(
     from ital_tpu.parallel.sharded import _check_mi_batch
 
     _check_mi_batch(strategy, batch_size)
-    cap_check_done = []
+    checked_caps = set()
 
     select_body = _make_round_body(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
@@ -185,14 +185,15 @@ def make_bigcap_round(
         return state, batch, ap, recalls
 
     def wrapped(state, key, relevant, sel_forbid, ap_exclude, params):
-        if not cap_check_done:
+        if state.cap not in checked_caps:  # cheap host-side int compare
             n_dev = mesh.shape[AXIS]
             if state.cap % n_dev != 0:
                 raise ValueError(
                     f"bigcap path: cap={state.cap} must divide the "
-                    f"{n_dev}-device mesh (block-row layout)"
+                    f"{n_dev}-device mesh (block-row layout); round the "
+                    f"capacity up to a multiple of {n_dev}"
                 )
-            cap_check_done.append(True)
+            checked_caps.add(state.cap)
         return round_fn(state, key, relevant, sel_forbid, ap_exclude, params)
 
     return wrapped

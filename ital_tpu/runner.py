@@ -710,6 +710,16 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
         and cfg.cap >= cfg.gp.chol2d_threshold
         and cfg.cap % n_dev == 0
     )
+    if (not fused and cfg.gp.chol2d_threshold
+            and cfg.cap >= cfg.gp.chol2d_threshold and cfg.cap % n_dev != 0):
+        # Don't silently hand a huge replicated factor to every chip — the
+        # exact blow-up the distributed path exists to avoid.
+        print(f"# WARNING: cap={cfg.cap} crossed chol2d_threshold="
+              f"{cfg.gp.chol2d_threshold} but does not divide the {n_dev}-"
+              f"device mesh; using the REPLICATED factor path "
+              f"(~{cfg.cap * cfg.cap * 4 / 1e6:.0f} MB per chip). Round "
+              f"GP.cap up to a multiple of {n_dev} to enable the "
+              f"distributed refit.")
     bigcap_refit = None
     if fused:
         from ital_tpu.parallel.sharded import make_sharded_session

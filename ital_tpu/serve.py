@@ -150,6 +150,7 @@ class RetrievalService:
         import jax
         import jax.numpy as jnp
 
+        sids = list(dict.fromkeys(sids))  # dedup: same lock must not re-acquire
         entries = [(sid, *self._entry(sid)) for sid in sids]
         # Lock in a canonical order (deadlock-free vs concurrent groups).
         for _, _, lock in sorted(entries, key=lambda e: e[0]):

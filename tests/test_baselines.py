@@ -84,3 +84,59 @@ def test_emoc_batch_first_pick_matches_emoc(fitted_state):
     b_one = np.asarray(select_emoc(fitted_state, 3, key, params))
     b_blk = np.asarray(select_emoc_batch(fitted_state, 3, key, params))
     assert b_one[0] == b_blk[0]
+
+
+def test_emoc_batch_matches_dense_oracle():
+    """Independent f64 oracle for batch EMOC (code-review round 3): the t>0
+    greedy pick must equal a dense NumPy implementation that refits the
+    oracle GP with the first pick's most-probable label appended — catching
+    any shared-formula error in the TPU scoring path (CLAUDE.md: new selector
+    behavior needs an oracle comparison)."""
+    from scipy.stats import norm
+
+    from ital_tpu.select.baselines import select_emoc_batch
+    from tests.oracle.numpy_oracle import OracleGP
+
+    ds = toy_gaussians(n_per_class=50, n_classes=3, dim=2, seed=9)
+    n = ds.n
+    ls, var, noise = 1.5, 1.0, 0.1
+    query = 4
+    cls = int(ds.labels[query])
+    labeled = [query, 30, 75, 120]
+    ys = [1.0] + [1.0 if ds.relevance[i, cls] else -1.0 for i in labeled[1:]]
+
+    state = gp_mod.gp_init(jnp.asarray(ds.x), ls, var, noise, cap=16)
+    state = gp_mod.gp_set_query(state, jnp.asarray(query))
+    state = gp_mod.gp_update(
+        state, jnp.asarray(labeled[1:], jnp.int32),
+        jnp.asarray(ys[1:], jnp.float32), jnp.ones(3, bool),
+    )
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.9), mistake_prob=jnp.asarray(0.05)
+    )
+    batch = np.asarray(select_emoc_batch(state, 2, jax.random.PRNGKey(0), params))
+
+    def oracle_emoc_scores(gp):
+        mu, sig2 = gp.predict_diag()
+        k_li = gp.k_all[np.ix_(gp.labeled, range(n))]
+        from scipy.linalg import solve_triangular
+
+        v = solve_triangular(gp._cho[0], k_li, lower=True)
+        k_post = gp.k_all - v.T @ v  # (N, N) dense hypothetical-free posterior
+        colabs = np.abs(k_post).sum(axis=0)
+        p_pos = norm.cdf(mu / np.sqrt(sig2))
+        exp_change = p_pos * np.abs(1.0 - mu) + (1 - p_pos) * np.abs(-1.0 - mu)
+        return exp_change / (sig2 + gp.noise) * colabs
+
+    gp = OracleGP(ds.x, ls, var, noise)
+    gp.fit(labeled, ys)
+    s0 = oracle_emoc_scores(gp)
+    s0[labeled] = -np.inf
+    c1 = int(np.argmax(s0))
+    assert batch[0] == c1
+
+    y1 = 1.0 if gp.predict_mean([c1])[0] >= 0 else -1.0
+    gp.fit(labeled + [c1], ys + [y1])  # hypothetical refit == block update
+    s1 = oracle_emoc_scores(gp)
+    s1[labeled + [c1]] = -np.inf
+    assert batch[1] == int(np.argmax(s1))

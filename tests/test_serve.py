@@ -199,3 +199,17 @@ def test_batch_select_mixed_capacity_falls_back(server):
     assert set(r["batches"]) == {r1["session_id"], r2["session_id"]}
     for b in r["batches"].values():
         assert len(b) == 2
+
+
+def test_batch_select_duplicate_ids_no_deadlock(server):
+    """Duplicate session ids in the group must not re-acquire the same
+    per-session lock (code-review round 3: reproduced permanent deadlock)."""
+    _, r = _req(f"{server}/sessions", "POST", {})
+    sid = r["session_id"]
+    _req(f"{server}/sessions/{sid}/query", "POST", {"index": 12})
+    code, r = _req(f"{server}/batch_select", "POST",
+                   {"session_ids": [sid, sid], "k": 2})
+    assert code == 200 and len(r["batches"][sid]) == 2
+    # The session is still usable afterwards (lock released).
+    code, r = _req(f"{server}/sessions/{sid}/batch?k=2")
+    assert code == 200
