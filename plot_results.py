@@ -1,11 +1,18 @@
 #!/usr/bin/env python
-"""Plot MAP-vs-rounds curves from experiment JSONL logs.
+"""Plot MAP-vs-rounds curves from experiment logs or result records.
 
 Reference parity: the reference's result-plotting script (SURVEY.md C8).
-Reads one or more JSONL files written by the runner (``log_jsonl``), aggregates
-AP per round per file, and writes a MAP-vs-rounds figure::
+Accepts, per input file:
 
-    python plot_results.py out/ital.jsonl out/random.jsonl -o map.png
+- runner JSONL (``log_jsonl``) — AP aggregated per round;
+- result-record JSON (``results/*.json`` from ``scripts/run_scenarios.py`` /
+  ``scripts/method_comparison.py``) — the ``map`` curve, with a shaded
+  ``map_std`` band when present (the multi-seed records of round 3); method-
+  comparison files (one record per method) expand into one curve per method.
+
+::
+
+    python plot_results.py out/ital.jsonl results/mirflickr_methods.json -o map.png
 """
 
 from __future__ import annotations
@@ -36,6 +43,31 @@ def load_curve(path: str):
     ]
 
 
+def load_records(path: str, base_label: str):
+    """(label, rounds, map, map_std|None) series from one input file.
+
+    Result-record JSONs yield one series per method (or one for a scenario
+    record); JSONL logs yield a single aggregated series with no band.
+    """
+    with open(path) as fh:
+        head = fh.read(1)
+    if head != "{":  # JSONL
+        rounds, curve = load_curve(path)
+        return [(base_label, rounds, curve, None)]
+    with open(path) as fh:
+        doc = json.load(fh)
+    if "map" in doc:  # one scenario record
+        doc = {base_label: doc}
+    series = []
+    for name, rec in doc.items():
+        if not isinstance(rec, dict) or "map" not in rec:
+            continue  # skip _note/metadata entries
+        curve = rec["map"]
+        series.append((name, list(range(1, len(curve) + 1)),
+                       curve, rec.get("map_std")))
+    return series
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("logs", nargs="+", help="JSONL files from the runner")
@@ -49,10 +81,19 @@ def main(argv=None) -> int:
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(6, 4))
+    many_files = len(args.logs) > 1
     for path in args.logs:
-        rounds, curve = load_curve(path)
-        label = os.path.splitext(os.path.basename(path))[0]
-        ax.plot(rounds, curve, marker="o", markersize=3, label=label)
+        base = os.path.splitext(os.path.basename(path))[0]
+        for label, rounds, curve, std in load_records(path, base):
+            if many_files and label != base:
+                label = f"{label} [{base}]"  # disambiguate across files
+            (line,) = ax.plot(rounds, curve, marker="o", markersize=3,
+                              label=label)
+            if std:  # multi-seed record: shade +/- one cross-seed std
+                lo = [m - s for m, s in zip(curve, std)]
+                hi = [m + s for m, s in zip(curve, std)]
+                ax.fill_between(rounds, lo, hi, color=line.get_color(),
+                                alpha=0.15, linewidth=0)
     ax.set_xlabel("feedback round")
     ax.set_ylabel("MAP")
     ax.set_title(args.title)

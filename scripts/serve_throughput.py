@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Measure serving latency/throughput, incl. the cohort endpoint (round 3).
+
+Spins up the HTTP daemon in-process on the digits corpus and measures, over
+the wire (localhost):
+
+1. per-request latency of the single-session surface (batch -> feedback),
+2. `POST /batch_select` for K sessions vs K individual `GET /batch` calls —
+   the cohort-over-HTTP claim (one vmapped device program for the group).
+
+Writes results/serve_throughput.json.  Run on the real TPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K = 8  # cohort size
+
+
+def _req(url, method="GET", body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method,
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
+
+
+def main() -> int:
+    from ital_tpu.data.datasets import digits
+    from ital_tpu.serve import RetrievalService, make_server
+
+    ds = digits()
+    svc = RetrievalService(
+        ds.x, length_scale=2.2, var=1.0, noise=0.1, cap=64,
+        strategy="ital", label_prob=0.9, mistake_prob=0.05,
+        corpus_name="digits",
+    )
+    srv = make_server(svc, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    rng = np.random.default_rng(0)
+    sids = []
+    for _ in range(K):
+        sid = _req(f"{base}/sessions", "POST", {})["session_id"]
+        q = int(rng.integers(0, ds.n))
+        _req(f"{base}/sessions/{sid}/query", "POST", {"index": q})
+        # A couple of labels so MI scores separate (and jit warms).
+        labs = {str(int(i)): (1 if ds.labels[i] == ds.labels[q] else -1)
+                for i in rng.integers(0, ds.n, size=4)}
+        _req(f"{base}/sessions/{sid}/feedback", "POST", {"labels": labs})
+        sids.append(sid)
+
+    # Warm both compiled paths.
+    _req(f"{base}/sessions/{sids[0]}/batch?k=4")
+    _req(f"{base}/batch_select", "POST", {"session_ids": sids, "k": 4})
+
+    def timed(fn, reps=5):
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            times.append(1e3 * (time.perf_counter() - t0))
+        return float(np.median(times))
+
+    single_ms = timed(lambda: [
+        _req(f"{base}/sessions/{s}/batch?k=4") for s in sids
+    ])  # K sequential individual requests
+    cohort_ms = timed(lambda: _req(
+        f"{base}/batch_select", "POST", {"session_ids": sids, "k": 4}
+    ))
+    one_ms = timed(lambda: _req(f"{base}/sessions/{sids[0]}/batch?k=4"))
+
+    report = {
+        "corpus": "digits (1797 x 64)",
+        "k_sessions": K,
+        "single_request_ms": round(one_ms, 1),
+        "k_individual_requests_ms": round(single_ms, 1),
+        "batch_select_ms_total": round(cohort_ms, 1),
+        "batch_select_ms_per_session": round(cohort_ms / K, 2),
+        "speedup_vs_individual": round(single_ms / cohort_ms, 2),
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "results", "serve_throughput.json")
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report, indent=1))
+    srv.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
