@@ -23,6 +23,13 @@ import numpy as np
 from ital_tpu.models import gp as gp_mod
 from ital_tpu.select.base import StrategyParams, get_strategy
 
+# Jitted once per process (per shape): the interactive surface dispatches ONE
+# compiled program per call instead of op-by-op — behind a ~30 ms-RTT tunnel
+# the difference is ~1.2 s vs ~40 ms per request (round-3 serving
+# measurement, results/serve_throughput.json).
+_jit_set_query = jax.jit(gp_mod.gp_set_query)
+_jit_update = jax.jit(gp_mod.gp_update)
+
 
 class ActiveRetrieval:
     """One interactive retrieval session over a fixed corpus.
@@ -63,6 +70,7 @@ class ActiveRetrieval:
             tradeoff=jnp.asarray(tradeoff),
         )
         self._key = jax.random.PRNGKey(seed)
+        self._jitted_select: dict = {}  # k -> jitted selection
         self.query: Optional[int] = None
 
     # -- reference-parity surface ------------------------------------------
@@ -70,13 +78,17 @@ class ActiveRetrieval:
     def update_query(self, query_idx: int) -> None:
         """Reset the session to a new query image (counted as a +1 label)."""
         self.query = int(query_idx)
-        self.state = gp_mod.gp_set_query(self.state, jnp.asarray(query_idx))
+        self.state = _jit_set_query(self.state, jnp.asarray(query_idx))
 
     def fetch_unlabelled(self, k: int) -> np.ndarray:
         """Next batch of k candidate indices to show the user."""
         self._key, sub = jax.random.split(self._key)
-        batch = self._select(self.state, k, sub, self.params)
-        return np.asarray(batch)
+        fn = self._jitted_select.get(k)
+        if fn is None:
+            sel = self._select
+            fn = jax.jit(lambda st, key, pp: sel(st, k, key, pp))
+            self._jitted_select[k] = fn
+        return np.asarray(fn(self.state, sub, self.params))
 
     def update(self, feedback: Dict[int, int]) -> None:
         """Apply one round of user feedback and refresh the posterior.
@@ -97,7 +109,7 @@ class ActiveRetrieval:
         raw = [0 if v is None else int(v) for v in feedback.values()]
         y = np.asarray(raw, dtype=np.float32)
         valid = y != 0
-        self.state = gp_mod.gp_update(
+        self.state = _jit_update(
             self.state, jnp.asarray(idx), jnp.asarray(y), jnp.asarray(valid)
         )
 

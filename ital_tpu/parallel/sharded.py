@@ -26,7 +26,7 @@ same code path (tested bit-close in ``tests/test_sharded.py``).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,16 @@ from ital_tpu.parallel.mesh import CORPUS_AXIS
 from ital_tpu.select.base import StrategyParams
 from ital_tpu.select.ital import mi_scores_from_moments
 from ital_tpu.utils.metrics import average_precision, recall_at_k
+
+
+class LearnConfig(NamedTuple):
+    """Online hyperparameter-learning knobs threaded into fused/cohort device
+    programs (mirrors the ``[GP] learn_*`` config keys; see GPConfig)."""
+
+    every: int
+    steps: int = 50
+    lr: float = 0.05
+    learn_noise: bool = True
 
 
 def pad_to_devices(x, n_dev: int, *, axis: int = 0):
@@ -191,42 +201,50 @@ def _sharded_ital_scores(state, batch, t, params, n_qmc):
     )
 
 
-def _sharded_emoc_scores(
-    state: GPState, params: StrategyParams, pad_local: jax.Array
-) -> jax.Array:
-    """EMOC over the sharded corpus: column-abs-sums via a ring pass.
+def _ring_colabs(state: GPState, v: jax.Array, pad_local: jax.Array) -> jax.Array:
+    """``sum_x |k_post(x, c)|`` for this shard's candidates, via a ring pass.
 
-    Each chip keeps its candidate columns ``V[:, local]`` fixed and accumulates
-    ``sum_x |k(x, c) - V[:,x].V[:,c]|`` as every (x block, V block) pair visits
-    over the ICI ring — the O(N^2) interaction split p ways (see
-    :mod:`ital_tpu.parallel.ring`).  ``pad_local`` flags this shard's pad rows;
-    the mask travels the ring so pad rows never contribute to the reduction
-    (they would otherwise skew scores whenever N % n_dev != 0).
+    Each chip keeps its candidate columns ``v[:, local]`` fixed and
+    accumulates the posterior-covariance column-abs-sums as every
+    (x block, v block) pair visits over the ICI ring — the O(N^2) interaction
+    split p ways (:mod:`ital_tpu.parallel.ring`).  ``v`` may be the state's
+    whitened cross-kernel or a hypothetical augmentation of it (batch EMOC).
+    ``pad_local`` flags this shard's pad rows; the mask travels the ring so
+    pad rows never contribute (they would otherwise skew scores whenever
+    N % n_dev != 0).
     """
     from ital_tpu.ops.kernels import rbf_kernel
     from ital_tpu.parallel.ring import ring_reduce_over_corpus
-    from ital_tpu.select.baselines import _p_relevant
 
     h = state.hyper
-    xc, vc = state.x, state.v  # local candidates
+    xc = state.x
     valid_local = 1.0 - pad_local.astype(state.mu.dtype)
 
     def acc_fn(acc, blk):
         xb, vtb, valid_b = blk
         k = rbf_kernel(xb, xc, h.length_scale, h.var)  # (blk_n, n_loc)
-        k_post = k - jnp.dot(vtb, vc, preferred_element_type=jnp.float32).astype(
+        k_post = k - jnp.dot(vtb, v, preferred_element_type=jnp.float32).astype(
             state.mu.dtype
         )
         return acc + jnp.sum(jnp.abs(k_post) * valid_b[:, None], axis=0)
 
-    colabs = ring_reduce_over_corpus(
-        (state.x, state.v.T, valid_local),
+    return ring_reduce_over_corpus(
+        (state.x, v.T, valid_local),
         acc_fn,
         jnp.zeros(xc.shape[0], state.mu.dtype),
     )
-    p_pos = _p_relevant(state)
-    exp_change = p_pos * jnp.abs(1.0 - state.mu) + (1 - p_pos) * jnp.abs(-1.0 - state.mu)
-    return exp_change / (state.sig2 + h.noise) * colabs
+
+
+def _sharded_emoc_scores(
+    state: GPState, params: StrategyParams, pad_local: jax.Array
+) -> jax.Array:
+    """EMOC over the sharded corpus (mirror of ``select_emoc``)."""
+    from ital_tpu.select.baselines import emoc_scores_from_moments
+
+    colabs = _ring_colabs(state, state.v, pad_local)
+    return emoc_scores_from_moments(
+        state.mu, state.sig2, state.hyper.noise, colabs
+    )
 
 
 def _sharded_emoc_batch_scores(
@@ -245,8 +263,7 @@ def _sharded_emoc_batch_scores(
     """
     from ital_tpu.ops.chol import padded_cholesky, tri_solve
     from ital_tpu.ops.kernels import rbf_kernel
-    from ital_tpu.parallel.ring import ring_reduce_over_corpus
-    from ital_tpu.select.baselines import _phi
+    from ital_tpu.select.baselines import emoc_scores_from_moments
 
     if t == 0:
         return _sharded_emoc_scores(state, params, pad_local)
@@ -272,25 +289,8 @@ def _sharded_emoc_batch_scores(
     sig2_h = jnp.maximum(state.sig2 - jnp.sum(w * w, axis=0), 1e-8)
     v_aug = jnp.concatenate([state.v, w], axis=0)  # (cap + t, shard_n)
 
-    valid_local = 1.0 - pad_local.astype(state.mu.dtype)
-    xc = state.x
-
-    def acc_fn(acc, blk):
-        xb2, vtb, valid_b = blk
-        k = rbf_kernel(xb2, xc, h.length_scale, h.var)
-        k_post = k - jnp.dot(vtb, v_aug, preferred_element_type=jnp.float32).astype(
-            state.mu.dtype
-        )
-        return acc + jnp.sum(jnp.abs(k_post) * valid_b[:, None], axis=0)
-
-    colabs = ring_reduce_over_corpus(
-        (state.x, v_aug.T, valid_local),
-        acc_fn,
-        jnp.zeros(xc.shape[0], state.mu.dtype),
-    )
-    p_pos = _phi(mu_h / jnp.sqrt(sig2_h))
-    exp_change = p_pos * jnp.abs(1.0 - mu_h) + (1 - p_pos) * jnp.abs(-1.0 - mu_h)
-    return exp_change / (sig2_h + h.noise) * colabs
+    colabs = _ring_colabs(state, v_aug, pad_local)
+    return emoc_scores_from_moments(mu_h, sig2_h, h.noise, colabs)
 
 
 def _sharded_mcmi_scores(
@@ -803,22 +803,22 @@ def _fused_session_body(inner_round, n_rounds: int, learn=None):
     and AP accumulation are defined for both the fused-session and cohort
     entry points (their tested 'identical curves' invariant depends on it).
 
-    ``learn=(learn_every, steps, lr, learn_noise)`` enables online type-II-ML
+    ``learn`` (a :class:`LearnConfig`) enables online type-II-ML
     hyperparameter relearning inside the fused loop (VERDICT r2 item 6): the
     labeled features are assembled with the same collective gather the round
     body uses, the ascent runs replicated (identical inputs on every chip),
     and the refit is ``gp_fit`` with the collective gather — same cadence and
     position (after the round's AP) as the serial path."""
-    learn_every = int(learn[0]) if learn else 0
+    learn_every = int(learn.every) if learn else 0
 
     def _relearn(st):
         from ital_tpu.models.hyperopt import fit_hyperparams
 
-        _, steps, lr, learn_noise = learn
         xl = gather_rows(st.x, st.idx)
         hyper = fit_hyperparams(
             xl, st.y, st.active, st.hyper,
-            steps=int(steps), lr=float(lr), learn_noise=bool(learn_noise),
+            steps=int(learn.steps), lr=float(learn.lr),
+            learn_noise=bool(learn.learn_noise),
         )
         return gp_mod.gp_fit(
             st.replace(hyper=hyper),
@@ -920,7 +920,7 @@ def make_sharded_cohort(
     inner_round = _make_round_body(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=()
     )
-    axes = _cohort_state_axes(learn=bool(learn and learn[0]))
+    axes = _cohort_state_axes(learn=bool(learn and learn.every))
     _cohort_local = jax.vmap(
         _fused_session_body(inner_round, n_rounds, learn=learn),
         in_axes=(axes, 0, 0, None, 0, None),

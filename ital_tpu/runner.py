@@ -623,9 +623,11 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
               "checkpoint_dir/resume are per-round features and are ignored")
     # Online hyperparameter learning rides inside the fused/cohort device
     # programs too (lax.cond on the round index; VERDICT r2 item 6).
+    from ital_tpu.parallel.sharded import LearnConfig
+
     learn = (
-        (cfg.gp.learn_every, cfg.gp.learn_steps, cfg.gp.learn_lr,
-         cfg.gp.learn_noise)
+        LearnConfig(cfg.gp.learn_every, cfg.gp.learn_steps, cfg.gp.learn_lr,
+                    cfg.gp.learn_noise)
         if cfg.gp.learn_every else None
     )
 
@@ -704,14 +706,13 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
     # Large-cap mode: at/above GPConfig.chol2d_threshold the per-round step
     # absorbs labels via the distributed chol2d refit (parallel/bigcap.py) —
     # the production caller of the TP-analog (VERDICT r2 item 4).
-    bigcap = bool(
+    want_bigcap = bool(
         not fused
         and cfg.gp.chol2d_threshold
         and cfg.cap >= cfg.gp.chol2d_threshold
-        and cfg.cap % n_dev == 0
     )
-    if (not fused and cfg.gp.chol2d_threshold
-            and cfg.cap >= cfg.gp.chol2d_threshold and cfg.cap % n_dev != 0):
+    bigcap = want_bigcap and cfg.cap % n_dev == 0
+    if want_bigcap and not bigcap:
         # Don't silently hand a huge replicated factor to every chip — the
         # exact blow-up the distributed path exists to avoid.
         print(f"# WARNING: cap={cfg.cap} crossed chol2d_threshold="

@@ -222,13 +222,26 @@ def select_adapt_al(state, batch_size, key, params: StrategyParams):
 # ---------------------------------------------------------------------------
 
 
-@register("emoc")
-def select_emoc(state, batch_size, key, params: StrategyParams):
-    """Expected model output change (reference ``EMOC``).
+def emoc_scores_from_moments(mu, sig2, noise, colabs):
+    """EMOC scores from posterior moments + covariance column-abs-sums.
 
     EMOC(c) = E_{y ~ P(R_c)} || mu' - mu ||_1
             = [ P(+1) |1 - mu_c| + P(-1) |-1 - mu_c| ] / (sig2_c + noise)
               * sum_x |k_post(x, c)|
+
+    The ONE place the formula lives — shared by the one-point and batch
+    variants and their sharded ring mirrors (the moments are the current or
+    the block-hypothetical posterior respectively), so the oracle-checked
+    denominator/probability conventions cannot drift between them.
+    """
+    p_pos = _phi(mu / jnp.sqrt(sig2))
+    exp_change = p_pos * jnp.abs(1.0 - mu) + (1 - p_pos) * jnp.abs(-1.0 - mu)
+    return exp_change / (sig2 + noise) * colabs
+
+
+@register("emoc")
+def select_emoc(state, batch_size, key, params: StrategyParams):
+    """Expected model output change (reference ``EMOC``).
 
     The reference loops candidates and calls ``updated_prediction``; here the
     column-abs-sums of the posterior covariance stream blockwise over the MXU
@@ -239,9 +252,9 @@ def select_emoc(state, batch_size, key, params: StrategyParams):
     colabs = blockwise_reduce_abs_kpost(
         state.x, state.v, jnp.arange(n), state.hyper.length_scale, state.hyper.var
     )
-    p_pos = _p_relevant(state)
-    exp_change = p_pos * jnp.abs(1.0 - state.mu) + (1 - p_pos) * jnp.abs(-1.0 - state.mu)
-    scores = exp_change / (state.sig2 + state.hyper.noise) * colabs
+    scores = emoc_scores_from_moments(
+        state.mu, state.sig2, state.hyper.noise, colabs
+    )
     return greedy_argmax_batch(lambda b, t: scores, state, batch_size)
 
 
@@ -279,9 +292,7 @@ def select_emoc_batch(state, batch_size, key, params: StrategyParams):
             state.x, v_aug, jnp.arange(n),
             state.hyper.length_scale, state.hyper.var,
         )
-        p_pos = _phi(mu_h / jnp.sqrt(sig2_h))
-        exp_change = p_pos * jnp.abs(1.0 - mu_h) + (1 - p_pos) * jnp.abs(-1.0 - mu_h)
-        return exp_change / (sig2_h + state.hyper.noise) * colabs
+        return emoc_scores_from_moments(mu_h, sig2_h, state.hyper.noise, colabs)
 
     return greedy_argmax_batch(score, state, batch_size)
 
