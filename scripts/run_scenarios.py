@@ -34,6 +34,10 @@ SCENARIOS = [
      ("EXPERIMENT.max_classes=2",)),
     ("config5_scale100k_sharded", "configs/scale100k.ini",
      ("EXPERIMENT.n_rounds=3", "EXPERIMENT.max_classes=1")),
+    # Paper datasets beyond the 5 BASELINE scenarios (surrogate-flagged).
+    ("usps_b4", "configs/usps.ini", ("EXPERIMENT.max_classes=4",)),
+    ("natural_scenes_b4", "configs/natural_scenes.ini",
+     ("EXPERIMENT.max_classes=4",)),
 ]
 
 QUICK_OVERRIDES = ("EXPERIMENT.n_rounds=3", "EXPERIMENT.queries_per_class=1")
