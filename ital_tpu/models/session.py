@@ -14,6 +14,7 @@ the hot path stays jitted.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -29,6 +30,23 @@ from ital_tpu.select.base import StrategyParams, get_strategy
 # measurement, results/serve_throughput.json).
 _jit_set_query = jax.jit(gp_mod.gp_set_query)
 _jit_update = jax.jit(gp_mod.gp_update)
+
+# Feedback blocks are padded up to a multiple of this width (valid=False on
+# the pad slots — mathematically absent, but they do consume capacity slots
+# like any skipped item).  Keeps the jitted update's shape stable across
+# rounds with different label counts: distinct shapes would each recompile
+# the whole O(cap x N) program (minutes at MIRFLICKR scale via the remote
+# compile service — CLAUDE.md "static shapes are load-bearing").
+_UPDATE_BUCKET = 4
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_select(strategy_name: str, k: int):
+    """Process-wide jitted selection, shared by every session with the same
+    (strategy, batch size) — new sessions over the same corpus reuse the
+    compiled program instead of re-tracing per instance."""
+    sel = get_strategy(strategy_name)
+    return jax.jit(lambda st, key, pp: sel(st, k, key, pp))
 
 
 class ActiveRetrieval:
@@ -63,14 +81,13 @@ class ActiveRetrieval:
         if with_density:
             self.state = self.state.replace(density=gp_mod.corpus_density(self.state))
         self.strategy_name = strategy
-        self._select = get_strategy(strategy)
+        get_strategy(strategy)  # fail fast on unknown strategy names
         self.params = StrategyParams(
             label_prob=jnp.asarray(label_prob),
             mistake_prob=jnp.asarray(mistake_prob),
             tradeoff=jnp.asarray(tradeoff),
         )
         self._key = jax.random.PRNGKey(seed)
-        self._jitted_select: dict = {}  # k -> jitted selection
         self.query: Optional[int] = None
 
     # -- reference-parity surface ------------------------------------------
@@ -83,11 +100,7 @@ class ActiveRetrieval:
     def fetch_unlabelled(self, k: int) -> np.ndarray:
         """Next batch of k candidate indices to show the user."""
         self._key, sub = jax.random.split(self._key)
-        fn = self._jitted_select.get(k)
-        if fn is None:
-            sel = self._select
-            fn = jax.jit(lambda st, key, pp: sel(st, k, key, pp))
-            self._jitted_select[k] = fn
+        fn = _jit_select(self.strategy_name, int(k))
         return np.asarray(fn(self.state, sub, self.params))
 
     def update(self, feedback: Dict[int, int]) -> None:
@@ -105,9 +118,17 @@ class ActiveRetrieval:
                 f"labeled-slot capacity exceeded: {used} used + {len(feedback)} new "
                 f"> cap={self.state.cap}; construct the session with a larger `cap`"
             )
-        idx = np.fromiter(feedback.keys(), dtype=np.int32)
-        raw = [0 if v is None else int(v) for v in feedback.values()]
-        y = np.asarray(raw, dtype=np.float32)
+        # Pad the block up to the bucket width so the jitted update compiles
+        # once per bucket, not once per feedback-dict size (pad slots carry
+        # valid=False — inert — and, like skips, consume capacity); clamped
+        # to the remaining capacity so the check above stays exact.
+        b = min(-(-len(feedback) // _UPDATE_BUCKET) * _UPDATE_BUCKET,
+                self.state.cap - used)
+        idx = np.zeros(b, dtype=np.int32)
+        idx[: len(feedback)] = np.fromiter(feedback.keys(), dtype=np.int32)
+        y = np.zeros(b, dtype=np.float32)
+        y[: len(feedback)] = [0 if v is None else int(v)
+                              for v in feedback.values()]
         valid = y != 0
         self.state = _jit_update(
             self.state, jnp.asarray(idx), jnp.asarray(y), jnp.asarray(valid)
