@@ -213,7 +213,7 @@ def _run_session(
         curve.append(float(ap))
         logger.log(
             rep=rep, cls=c, query=q, round=rnd, ap=float(ap),
-            select_ms=timer.ms("select"), update_ms=timer.ms("update"),
+            select_ms=timer.last_ms("select"), update_ms=timer.last_ms("update"),
             labeled=int(np.asarray(state.active).sum()),
             device_mem_mb=round(device_mem_mb(), 1),
             **{f"recall@{k}": float(r) for k, r in zip(RECALL_KS, np.asarray(recalls))},
@@ -416,7 +416,7 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             for j, (rep, c, q, _) in enumerate(chunk):
                 logger.log(rep=rep, cls=c, query=q, round=rnd,
                            ap=float(np.asarray(ap)[j]),
-                           round_ms=timer.ms("round"), query_batch=qb)
+                           round_ms=timer.last_ms("round"), query_batch=qb)
     logger.close()
 
     return {
@@ -835,7 +835,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
                     curve.append(float(ap))
                     logger.log(
                         rep=rep, cls=c, query=q, round=rnd, ap=float(ap),
-                        round_ms=timer.ms("round"), sharded=n_dev,
+                        round_ms=timer.last_ms("round"), sharded=n_dev,
                         labeled=int(np.asarray(state.active).sum()),
                         **{f"recall@{k}": float(r)
                            for k, r in zip(RECALL_KS, np.asarray(recalls))},

@@ -46,6 +46,7 @@ class Timer:
     def __init__(self):
         self.totals: dict[str, float] = {}
         self.counts: dict[str, int] = {}
+        self.lasts: dict[str, float] = {}
 
     def span(self, name: str):
         return _Span(self, name)
@@ -54,6 +55,12 @@ class Timer:
         """Mean milliseconds per recorded span."""
         c = self.counts.get(name, 0)
         return 1e3 * self.totals.get(name, 0.0) / c if c else 0.0
+
+    def last_ms(self, name: str) -> float:
+        """Milliseconds of the most recent span — what per-round JSONL rows
+        should carry (a running mean there hides first-call compile/transfer
+        cost inside every later row; docs/PROFILE.md section 6)."""
+        return 1e3 * self.lasts.get(name, 0.0)
 
 
 class _Span:
@@ -68,4 +75,5 @@ class _Span:
         dt = time.perf_counter() - self.t0
         self.timer.totals[self.name] = self.timer.totals.get(self.name, 0.0) + dt
         self.timer.counts[self.name] = self.timer.counts.get(self.name, 0) + 1
+        self.timer.lasts[self.name] = dt
         return False
