@@ -1,5 +1,10 @@
 """Device-mesh parallelism: sharded corpus, collective MI scan, ICI reductions."""
 
+from ital_tpu.parallel.bigcap import (  # noqa: F401
+    make_bigcap_fit,
+    make_bigcap_round,
+    shard_state_bigcap,
+)
 from ital_tpu.parallel.chol2d import (  # noqa: F401
     make_sharded_cho_solve,
     make_sharded_cholesky,
@@ -7,8 +12,12 @@ from ital_tpu.parallel.chol2d import (  # noqa: F401
 )
 from ital_tpu.parallel.mesh import make_mesh  # noqa: F401
 from ital_tpu.parallel.sharded import (  # noqa: F401
+    LearnConfig,
+    make_sharded_cohort,
     make_sharded_density,
     make_sharded_round,
+    make_sharded_session,
     pad_to_devices,
+    shard_cohort_state,
     shard_state,
 )
