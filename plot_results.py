@@ -49,13 +49,12 @@ def load_records(path: str, base_label: str):
     Result-record JSONs yield one series per method (or one for a scenario
     record); JSONL logs yield a single aggregated series with no band.
     """
-    with open(path) as fh:
-        head = fh.read(1)
-    if head != "{":  # JSONL
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)  # one JSON document = a result record
+    except json.JSONDecodeError:  # multiple documents = runner JSONL
         rounds, curve = load_curve(path)
         return [(base_label, rounds, curve, None)]
-    with open(path) as fh:
-        doc = json.load(fh)
     if "map" in doc:  # one scenario record
         doc = {base_label: doc}
     series = []
@@ -65,6 +64,9 @@ def load_records(path: str, base_label: str):
         curve = rec["map"]
         series.append((name, list(range(1, len(curve) + 1)),
                        curve, rec.get("map_std")))
+    if not series:  # e.g. a one-line JSONL parses as a single JSON object
+        rounds, curve = load_curve(path)
+        return [(base_label, rounds, curve, None)]
     return series
 
 

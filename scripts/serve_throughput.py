@@ -25,6 +25,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K = 8  # cohort size
+CORPUS = os.environ.get("SERVE_TP_CORPUS", "digits")  # digits | mirflickr
 
 
 def _req(url, method="GET", body=None):
@@ -36,14 +37,17 @@ def _req(url, method="GET", body=None):
 
 
 def main() -> int:
-    from ital_tpu.data.datasets import digits
+    from ital_tpu.data.datasets import digits, mirflickr
     from ital_tpu.serve import RetrievalService, make_server
 
-    ds = digits()
+    if CORPUS == "mirflickr":
+        ds, ls = mirflickr(), 50.0
+    else:
+        ds, ls = digits(), 2.2
     svc = RetrievalService(
-        ds.x, length_scale=2.2, var=1.0, noise=0.1, cap=64,
+        ds.x, length_scale=ls, var=1.0, noise=0.1, cap=64,
         strategy="ital", label_prob=0.9, mistake_prob=0.05,
-        corpus_name="digits",
+        corpus_name=CORPUS,
     )
     srv = make_server(svc, port=0)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
@@ -82,7 +86,7 @@ def main() -> int:
     one_ms = timed(lambda: _req(f"{base}/sessions/{sids[0]}/batch?k=4"))
 
     report = {
-        "corpus": "digits (1797 x 64)",
+        "corpus": f"{CORPUS} ({ds.n} x {ds.x.shape[1]})",
         "k_sessions": K,
         "single_request_ms": round(one_ms, 1),
         "k_individual_requests_ms": round(single_ms, 1),
@@ -90,8 +94,10 @@ def main() -> int:
         "batch_select_ms_per_session": round(cohort_ms / K, 2),
         "speedup_vs_individual": round(single_ms / cohort_ms, 2),
     }
+    name = ("serve_throughput.json" if CORPUS == "digits"
+            else f"serve_throughput_{CORPUS}.json")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "results", "serve_throughput.json")
+                       "results", name)
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report, indent=1))

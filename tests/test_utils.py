@@ -1,0 +1,57 @@
+"""Utility-layer units: per-round timer semantics + result-record plotting."""
+
+import json
+
+import numpy as np
+
+
+def test_timer_last_vs_mean():
+    """Per-round JSONL rows carry the LAST span (Timer.last_ms), not the
+    running mean — the round-2 953.9 ms confusion came from averaging a
+    first-call compile round into every row (docs/PROFILE.md section 6)."""
+    import time
+
+    from ital_tpu.utils.logging import Timer
+
+    t = Timer()
+    with t.span("round"):
+        time.sleep(0.05)
+    with t.span("round"):
+        time.sleep(0.005)
+    assert t.last_ms("round") < 30  # the most recent (fast) round
+    assert t.ms("round") > t.last_ms("round")  # mean is dragged by the first
+    assert t.last_ms("missing") == 0.0 and t.ms("missing") == 0.0
+
+
+def test_plot_results_loads_record_formats(tmp_path):
+    """plot_results.load_records handles all three input schemas: runner
+    JSONL, single-scenario records, and method-comparison records (with and
+    without map_std)."""
+    import plot_results as pr
+
+    jl = tmp_path / "log.jsonl"
+    jl.write_text(
+        json.dumps({"round": 0, "ap": 0.5}) + "\n"
+        + json.dumps({"round": 1, "ap": 0.7}) + "\n"
+        + json.dumps({"ap_curve": [0.4, 0.6]}) + "\n"
+    )
+    series = pr.load_records(str(jl), "log")
+    assert len(series) == 1
+    label, rounds, curve, std = series[0]
+    assert rounds == [1, 2] and std is None
+    np.testing.assert_allclose(curve, [0.45, 0.65])
+
+    scen = tmp_path / "scenario.json"
+    scen.write_text(json.dumps({"map": [0.3, 0.4], "map_std": [0.01, 0.02]}))
+    [(label, rounds, curve, std)] = pr.load_records(str(scen), "scenario")
+    assert label == "scenario" and std == [0.01, 0.02]
+
+    comp = tmp_path / "methods.json"
+    comp.write_text(json.dumps({
+        "ital": {"map": [0.5, 0.6], "map_std": [0.1, 0.1]},
+        "random": {"map": [0.2, 0.3]},
+        "_note": {"whatever": 1},
+    }))
+    series = pr.load_records(str(comp), "methods")
+    assert {s[0] for s in series} == {"ital", "random"}
+    assert dict((s[0], s[3]) for s in series)["random"] is None
