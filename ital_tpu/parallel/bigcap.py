@@ -130,6 +130,7 @@ def make_bigcap_round(
     batch_size: int = 4,
     n_qmc: int = 128,
     pool_size: int = 0,
+    subsample_size: int = 0,
     recall_ks: tuple = (),
 ):
     """Per-round step for large-cap sharded sessions.
@@ -146,7 +147,7 @@ def make_bigcap_round(
 
     select_body = _make_round_body(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
-        defer_update=True,
+        subsample_size=subsample_size, defer_update=True,
     )
     fit = make_bigcap_fit(mesh)
 

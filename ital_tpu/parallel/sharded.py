@@ -482,21 +482,25 @@ def _sharded_regression_scores(
 
 
 def _sharded_pool_mask(
-    state: GPState, forbid_local: jax.Array, pool_size: int
+    state: GPState, forbid_local: jax.Array, pool_size: int,
+    ranking_local: jax.Array = None,
 ) -> jax.Array:
-    """Local mask — True OUTSIDE the global top-``pool_size`` candidates by mu.
+    """Local mask — True OUTSIDE the global top-``pool_size`` candidates by
+    ``ranking_local`` (default: posterior mean — the reference's top-ranked
+    restriction; the random-subsample mode passes a seeded uniform draw).
 
-    The reference restricts ITAL's candidates to the top-ranked unlabeled items
-    (SURVEY.md C3); the single-device path implements it as a top-k mask.  Here
-    every shard contributes its local top-k; the global pool is the stable sort
-    of the gathered (value, index) pairs, which reproduces ``jax.lax.top_k``'s
-    lowest-index tie-breaking on the unsharded array (shards gather in axis
-    order and local lists are index-ascending among ties).  Rows in
-    ``forbid_local`` (labeled slots, shard padding) never consume pool slots.
+    The single-device path implements the restriction as a top-k mask
+    (SURVEY.md C3).  Here every shard contributes its local top-k; the global
+    pool is the stable sort of the gathered (value, index) pairs, which
+    reproduces ``jax.lax.top_k``'s lowest-index tie-breaking on the unsharded
+    array (shards gather in axis order and local lists are index-ascending
+    among ties).  Rows in ``forbid_local`` (labeled slots, shard padding)
+    never consume pool slots.
     """
     shard_n = state.mu.shape[0]
     k_local = min(pool_size, shard_n)
-    masked = jnp.where(forbid_local, -jnp.inf, state.mu)
+    ranking = state.mu if ranking_local is None else ranking_local
+    masked = jnp.where(forbid_local, -jnp.inf, ranking)
     vals_l, idx_l = jax.lax.top_k(masked, k_local)
     gidx_l = idx_l.astype(jnp.int32) + _offset(shard_n)
     vals = jax.lax.all_gather(vals_l, CORPUS_AXIS).reshape(-1)
@@ -599,7 +603,7 @@ def _check_mi_batch(strategy: str, batch_size: int) -> None:
 
 
 def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
-                     *, defer_update=False):
+                     *, subsample_size=0, defer_update=False):
     """The shard-local feedback-round body shared by the per-round and
     fused-session entry points (call only inside ``shard_map``).
 
@@ -615,11 +619,22 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
         # --- greedy selection with collective argmax ---
         pad_local = _sel_forbid_local(state, sel_forbid)
         forbid = local_slot_mask(state, extra_forbid=pad_local)
-        outside_pool = (
-            _sharded_pool_mask(state, forbid, pool_size)
-            if pool_size and strategy == "ital"
-            else None
-        )
+        outside_pool = None
+        if strategy == "ital" and pool_size:
+            outside_pool = _sharded_pool_mask(state, forbid, pool_size)
+        elif strategy == "ital" and subsample_size:
+            # Same per-element threefry draw as the single-device path (the
+            # full-length uniform is counter-based, so each shard slices its
+            # rows of the identical global sample — cross-path reproducible).
+            shard_n = state.mu.shape[0]
+            full = jax.random.uniform(
+                k_sel, (shard_n * jax.lax.axis_size(CORPUS_AXIS),),
+                state.mu.dtype,
+            )
+            u_local = jax.lax.dynamic_slice(full, (_offset(shard_n),), (shard_n,))
+            outside_pool = _sharded_pool_mask(
+                state, forbid, subsample_size, ranking_local=u_local
+            )
         if strategy == "rbmal":
             shard_n = state.x.shape[0]
             n_corpus = shard_n * jax.lax.axis_size(CORPUS_AXIS) - jax.lax.psum(
@@ -719,6 +734,7 @@ def make_sharded_round(
     batch_size: int = 4,
     n_qmc: int = 128,
     pool_size: int = 0,
+    subsample_size: int = 0,
     recall_ks: tuple = (),
 ):
     """Build the jitted sharded feedback-round step.
@@ -733,7 +749,8 @@ def make_sharded_round(
     ``recalls`` is ``(len(recall_ks),)`` (empty when no ks are requested).
     """
     _check_mi_batch(strategy, batch_size)
-    _round = _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks)
+    _round = _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size,
+                              recall_ks, subsample_size=subsample_size)
 
     def wrapped(state, key, relevant, sel_forbid, ap_exclude, params):
         specs = state_pspecs(state)
@@ -757,6 +774,7 @@ def make_sharded_session(
     n_rounds: int = 10,
     n_qmc: int = 128,
     pool_size: int = 0,
+    subsample_size: int = 0,
     learn=None,
 ):
     """Whole SESSION fused on the mesh: all ``n_rounds`` in one device program.
@@ -779,7 +797,8 @@ def make_sharded_session(
     """
     _check_mi_batch(strategy, batch_size)
     inner_round = _make_round_body(
-        mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=()
+        mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=(),
+        subsample_size=subsample_size,
     )
     _session = _fused_session_body(inner_round, n_rounds, learn=learn)
 
@@ -897,6 +916,7 @@ def make_sharded_cohort(
     n_rounds: int = 10,
     n_qmc: int = 128,
     pool_size: int = 0,
+    subsample_size: int = 0,
     learn=None,
 ):
     """COHORT of fused sessions on the mesh: ``query_batch`` retrieval sessions,
@@ -918,7 +938,8 @@ def make_sharded_cohort(
     """
     _check_mi_batch(strategy, batch_size)
     inner_round = _make_round_body(
-        mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=()
+        mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=(),
+        subsample_size=subsample_size,
     )
     axes = _cohort_state_axes(learn=bool(learn and learn.every))
     _cohort_local = jax.vmap(

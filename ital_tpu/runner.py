@@ -650,6 +650,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             n_rounds=cfg.n_rounds,
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
+            subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
             learn=learn,
         )
         set_query_v = jax.jit(
@@ -732,6 +733,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             n_rounds=cfg.n_rounds,
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
+            subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
             learn=learn,
         )
     elif bigcap:
@@ -747,6 +749,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             batch_size=cfg.batch_size,
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
+            subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
             recall_ks=RECALL_KS,
         )
         bigcap_refit = make_bigcap_fit(mesh)
@@ -757,6 +760,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             batch_size=cfg.batch_size,
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
+            subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
             recall_ks=RECALL_KS,
         )
 

@@ -198,6 +198,20 @@ def score_candidates_mi(
     )
 
 
+def candidate_pool_mask(
+    state: GPState, ranking: jax.Array, pool_size: int
+) -> jax.Array:
+    """(N,) bool — True OUTSIDE the top-``pool_size`` unlabeled items by
+    ``ranking`` (labeled items never consume pool slots).  Shared by both
+    reference candidate-restriction modes: top-ranked (`ranking = mu`) and
+    random subsampling (`ranking = uniform draw`)."""
+    from ital_tpu.select.base import labeled_mask
+
+    ranked = jnp.where(labeled_mask(state), -jnp.inf, ranking)
+    _, pool_idx = jax.lax.top_k(ranked, pool_size)
+    return jnp.ones(state.mu.shape[0], bool).at[pool_idx].set(False)
+
+
 @register("ital")
 def select_ital(
     state: GPState,
@@ -207,6 +221,7 @@ def select_ital(
     *,
     n_qmc: int = 128,
     pool_size: int = 0,
+    subsample_size: int = 0,
 ) -> jax.Array:
     """Greedy ITAL batch construction (reference ``ITAL.fetch_unlabelled``).
 
@@ -214,14 +229,15 @@ def select_ital(
     at each step against the partial batch; the greedy loop is unrolled (static
     ``batch_size``), so the whole selection is one jittable computation.
 
-    ``pool_size > 0`` restricts selection to the ``pool_size`` top-ranked
-    candidates by current posterior mean — the reference's candidate-pool
-    subsampling for tractability.  On TPU all candidates are scored anyway
-    (one vmap); the restriction is a mask, reproducing the reference's
-    selection semantics at zero extra cost.
+    The reference's two candidate-pool restrictions for tractability
+    (SURVEY.md C3 "candidate-pool subsampling / restriction to top-ranked
+    items") are both supported: ``pool_size > 0`` restricts selection to the
+    top-ranked unlabeled items by posterior mean; ``subsample_size > 0``
+    restricts to a per-round RANDOM subset of the unlabeled pool (seeded by
+    ``key``).  On TPU all candidates are scored anyway (one vmap); the
+    restriction is a mask, reproducing the reference's selection semantics at
+    zero extra cost.
     """
-    del key  # deterministic given the fixed QMC lattice
-
     if batch_size > MAX_MI_BATCH:
         raise ValueError(
             f"ITAL batch_size={batch_size} exceeds the supported maximum "
@@ -230,18 +246,19 @@ def select_ital(
             f"degrades beyond m={MAX_MI_BATCH} (see tests/test_mvn.py); use a "
             f"smaller batch or multiple rounds"
         )
-
-    if pool_size:
-        # Pool = exactly the top-`pool_size` *unlabeled* items by posterior
-        # mean (the reference restricts to top-ranked items of the unlabeled
-        # pool; labeled items must not consume pool slots).
-        from ital_tpu.select.base import labeled_mask
-
-        ranked_mu = jnp.where(labeled_mask(state), -jnp.inf, state.mu)
-        _, pool_idx = jax.lax.top_k(ranked_mu, pool_size)
-        outside_pool = (
-            jnp.ones(state.mu.shape[0], bool).at[pool_idx].set(False)
+    if pool_size and subsample_size:
+        raise ValueError(
+            "pool_size and subsample_size are mutually exclusive candidate "
+            "restrictions (reference ITAL applies one or the other)"
         )
+
+    if subsample_size:
+        # Per-round random subset: top-k of a uniform draw == a seeded
+        # without-replacement sample, with a static shape.
+        u = jax.random.uniform(key, (state.mu.shape[0],), state.mu.dtype)
+        outside_pool = candidate_pool_mask(state, u, subsample_size)
+    elif pool_size:
+        outside_pool = candidate_pool_mask(state, state.mu, pool_size)
     else:
         outside_pool = None
 

@@ -199,3 +199,61 @@ def test_regression_greedy_matches_dense_logdet_oracle(rng):
         chosen.append(best)
         excluded.add(best)
     assert batch == chosen
+
+
+def test_subsample_restricts_to_random_pool():
+    """subsample_size (reference: random candidate subsampling for
+    tractability) restricts selection to the seeded random subset — the batch
+    is inside the subset, deterministic given the key, and different keys
+    draw different pools."""
+    import jax
+
+    from ital_tpu.data.datasets import toy_gaussians
+    from ital_tpu.models import gp as gp_mod
+    from ital_tpu.select.base import StrategyParams, labeled_mask
+    from ital_tpu.select.ital import candidate_pool_mask, select_ital
+
+    ds = toy_gaussians(n_per_class=60, n_classes=3, dim=2, seed=4)
+    state = gp_mod.gp_init(jnp.asarray(ds.x), 1.5, 1.0, 0.1, cap=16)
+    state = gp_mod.gp_set_query(state, jnp.asarray(5))
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.9), mistake_prob=jnp.asarray(0.05)
+    )
+    key = jax.random.PRNGKey(3)
+    batch = np.asarray(select_ital(state, 3, key, params, n_qmc=32,
+                                   subsample_size=25))
+    # Recompute the expected pool with the same draw.
+    u = jax.random.uniform(key, (ds.n,), state.mu.dtype)
+    outside = np.asarray(candidate_pool_mask(state, u, 25))
+    assert not outside[batch].any(), "batch left the random subsample"
+    assert outside.sum() == ds.n - 25
+
+    again = np.asarray(select_ital(state, 3, key, params, n_qmc=32,
+                                   subsample_size=25))
+    np.testing.assert_array_equal(batch, again)
+    other = np.asarray(select_ital(state, 3, jax.random.PRNGKey(4), params,
+                                   n_qmc=32, subsample_size=25))
+    # Different key, different pool: batches are allowed to differ (and
+    # typically do); at minimum the pools differ.
+    u2 = jax.random.uniform(jax.random.PRNGKey(4), (ds.n,), state.mu.dtype)
+    assert (np.asarray(candidate_pool_mask(state, u2, 25)) != outside).any()
+
+
+def test_pool_and_subsample_mutually_exclusive():
+    import jax
+    import pytest
+
+    from ital_tpu.data.datasets import toy_gaussians
+    from ital_tpu.models import gp as gp_mod
+    from ital_tpu.select.base import StrategyParams
+    from ital_tpu.select.ital import select_ital
+
+    ds = toy_gaussians(n_per_class=20, n_classes=2, dim=2, seed=0)
+    state = gp_mod.gp_set_query(
+        gp_mod.gp_init(jnp.asarray(ds.x), 1.5, 1.0, 0.1, cap=8), jnp.asarray(0)
+    )
+    params = StrategyParams(label_prob=jnp.asarray(1.0),
+                            mistake_prob=jnp.asarray(0.0))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        select_ital(state, 2, jax.random.PRNGKey(0), params,
+                    pool_size=8, subsample_size=8)

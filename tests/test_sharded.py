@@ -498,3 +498,26 @@ def test_sharded_cohort_runner_path():
     cohort = run_experiment(ExperimentConfig(**common, query_batch=2))
     assert cohort.get("query_batch") == 2 and cohort.get("fused") is True
     np.testing.assert_allclose(cohort["ap"], serial["ap"], atol=1e-5)
+
+
+def test_sharded_subsample_matches_single_device():
+    """ITAL's RANDOM candidate subsampling (subsample_size — the reference's
+    other tractability restriction, SURVEY C3) picks the same batch sharded
+    as single-device under the same key (the uniform draw is counter-based
+    per element, so shards slice the identical global sample)."""
+    ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = (
+        _divisible_setup()
+    )
+    state_s = _warmed_dense(state0, ds, query)
+    key = jax.random.PRNGKey(13)
+    k_sel, _ = jax.random.split(key)
+    batch_ref = select_ital(state_s, 2, k_sel, params, n_qmc=32,
+                            subsample_size=40)
+
+    round_fn = make_sharded_round(
+        mesh, strategy="ital", batch_size=2, n_qmc=32, subsample_size=40
+    )
+    _, batch_m, _, _ = round_fn(
+        shard_state(state_s, mesh), key, relevant, sel_forbid, ap_exclude, params
+    )
+    np.testing.assert_array_equal(np.asarray(batch_m), np.asarray(batch_ref))
