@@ -481,21 +481,24 @@ def _sharded_regression_scores(
     return 0.5 * jnp.log1p(cond_var / noise)
 
 
-def _sharded_pool_mask(
-    state: GPState, forbid_local: jax.Array, pool_size: int,
+def _sharded_pool_indices(
+    state: GPState, forbid_local: jax.Array, pool_size: int, pool_padded: int,
     ranking_local: jax.Array = None,
-) -> jax.Array:
-    """Local mask — True OUTSIDE the global top-``pool_size`` candidates by
-    ``ranking_local`` (default: posterior mean — the reference's top-ranked
-    restriction; the random-subsample mode passes a seeded uniform draw).
+) -> tuple[jax.Array, jax.Array]:
+    """Replicated ``(pool_gidx, pool_forbid)`` — the global top-``pool_size``
+    candidates by ``ranking_local`` (default: posterior mean — the reference's
+    top-ranked restriction; the random-subsample mode passes a seeded uniform
+    draw), padded to ``pool_padded`` slots (pad slots flagged forbidden) so the
+    pool divides the mesh.
 
-    The single-device path implements the restriction as a top-k mask
-    (SURVEY.md C3).  Here every shard contributes its local top-k; the global
-    pool is the stable sort of the gathered (value, index) pairs, which
-    reproduces ``jax.lax.top_k``'s lowest-index tie-breaking on the unsharded
-    array (shards gather in axis order and local lists are index-ascending
-    among ties).  Rows in ``forbid_local`` (labeled slots, shard padding)
-    never consume pool slots.
+    Every shard contributes its local top-k; the global pool is the stable
+    sort of the gathered (value, index) pairs, which reproduces
+    ``jax.lax.top_k``'s lowest-index tie-breaking on the unsharded array
+    (shards gather in axis order and local lists are index-ascending among
+    ties) — so the pool equals the single-device
+    :func:`ital_tpu.select.ital.candidate_pool_indices` pool exactly.  Rows in
+    ``forbid_local`` (labeled slots, shard padding) rank ``-inf``; slots that
+    land on them (pool larger than the candidate set) come back flagged.
     """
     shard_n = state.mu.shape[0]
     k_local = min(pool_size, shard_n)
@@ -507,15 +510,90 @@ def _sharded_pool_mask(
     gidx = jax.lax.all_gather(gidx_l, CORPUS_AXIS).reshape(-1)
     order = jnp.argsort(-vals, stable=True)[:pool_size]
     pool_gidx = gidx[order]
-    rel = pool_gidx - _offset(shard_n)
-    ok = (rel >= 0) & (rel < shard_n)
-    inside = (
-        jnp.zeros((shard_n,), jnp.int32)
-        .at[jnp.clip(rel, 0, shard_n - 1)]
-        .add(ok.astype(jnp.int32))
-        > 0
-    )
-    return ~inside
+    pool_forbid = ~jnp.isfinite(vals[order])
+    pad = pool_padded - pool_gidx.shape[0]
+    if pad > 0:
+        pool_gidx = jnp.concatenate(
+            [pool_gidx, jnp.broadcast_to(pool_gidx[0], (pad,))]
+        )
+        pool_forbid = jnp.concatenate([pool_forbid, jnp.ones((pad,), bool)])
+    return pool_gidx, pool_forbid
+
+
+def _sharded_ital_pool_greedy(
+    state: GPState,
+    params: StrategyParams,
+    pool_gidx: jax.Array,
+    pool_forbid: jax.Array,
+    batch_size: int,
+    n_qmc: int,
+    n_dev: int,
+) -> jax.Array:
+    """Compact-pool greedy ITAL on the mesh — cost scales with the pool.
+
+    Sharded mirror of :func:`ital_tpu.select.ital._select_ital_pool`: the
+    pool's posterior moments are assembled ONCE per round with collective
+    gathers (O(pool x D) + O(cap x pool) ICI bytes), split evenly across the
+    mesh (``pool_padded / n_dev`` candidates per chip), and each greedy step
+    scores only this chip's pool slice — O(pool/p * 2^m * n_qmc) device work
+    per step regardless of corpus size.  The greedy argmax runs in pool-
+    position space (all_gather of per-shard winners), so tie-breaking matches
+    the single-device compact path (lowest pool position wins).
+    """
+    from ital_tpu.ops.kernels import rbf_kernel
+
+    h = state.hyper
+    dt = state.mu.dtype
+    pool_padded = pool_gidx.shape[0]
+    pp = pool_padded // n_dev
+    start = jax.lax.axis_index(CORPUS_AXIS) * pp
+
+    x_pool = gather_rows(state.x, pool_gidx)  # (Pp, D) replicated
+    v_pool = gather_cols(state.v, pool_gidx)  # (cap, Pp) replicated
+    mu_pool = gather_scalars(state.mu, pool_gidx)
+    sig2_pool = gather_scalars(state.sig2, pool_gidx) + params.jitter
+
+    x_my = jax.lax.dynamic_slice(x_pool, (start, 0), (pp, x_pool.shape[1]))
+    v_my = jax.lax.dynamic_slice(v_pool, (0, start), (v_pool.shape[0], pp))
+    mu_my = jax.lax.dynamic_slice(mu_pool, (start,), (pp,))
+    sig2_my = jax.lax.dynamic_slice(sig2_pool, (start,), (pp,))
+
+    batch = jnp.zeros((batch_size,), jnp.int32)
+    forbid = pool_forbid  # replicated (Pp,)
+    neg = jnp.asarray(-jnp.inf, dt)
+    for t in range(batch_size):
+        bsel = batch[:t]
+        if t > 0:
+            xb = gather_rows(state.x, bsel)  # (t, D) replicated
+            vb = gather_cols(state.v, bsel)  # (cap, t) replicated
+            mu_b = gather_scalars(state.mu, bsel)
+            k_bb = rbf_kernel(xb, xb, h.length_scale, h.var)
+            cov_bb = k_bb - vb.T @ vb + params.jitter * jnp.eye(t, dtype=dt)
+            k_pb = rbf_kernel(x_my, xb, h.length_scale, h.var)
+            cross = k_pb - jnp.dot(
+                v_my.T, vb, preferred_element_type=jnp.float32
+            ).astype(dt)
+        else:
+            mu_b = jnp.zeros((0,), dt)
+            cov_bb = jnp.zeros((0, 0), dt)
+            cross = jnp.zeros((pp, 0), dt)
+        scores = mi_scores_from_moments(
+            mu_my, sig2_my, cross, mu_b, cov_bb, params, t=t, n_qmc=n_qmc
+        )
+        scores = jnp.where(
+            jax.lax.dynamic_slice(forbid, (start,), (pp,)), neg, scores
+        )
+        # Collective argmax in POOL-POSITION space (lowest position on ties,
+        # matching the single-device argmax over the pool vector).
+        li = jnp.argmax(scores)
+        lv = scores[li]
+        gpos = (li + start).astype(jnp.int32)
+        vs = jax.lax.all_gather(lv, CORPUS_AXIS)
+        ps = jax.lax.all_gather(gpos, CORPUS_AXIS)
+        win = ps[jnp.argmax(vs)]
+        batch = batch.at[t].set(pool_gidx[win])
+        forbid = forbid.at[win].set(True)
+    return batch
 
 
 def _sharded_density_local(state: GPState, pad_local: jax.Array) -> jax.Array:
@@ -613,28 +691,42 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
     distributed chol2d refit outside this shard_map, since its ``l`` factor is
     row-sharded rather than replicated."""
 
+    n_dev = mesh.size
+
     def _round(state, key, relevant, sel_forbid, ap_exclude, params):
         k_sel, k_user = jax.random.split(key)
 
         # --- greedy selection with collective argmax ---
         pad_local = _sel_forbid_local(state, sel_forbid)
         forbid = local_slot_mask(state, extra_forbid=pad_local)
-        outside_pool = None
-        if strategy == "ital" and pool_size:
-            outside_pool = _sharded_pool_mask(state, forbid, pool_size)
-        elif strategy == "ital" and subsample_size:
-            # Same per-element threefry draw as the single-device path (the
-            # full-length uniform is counter-based, so each shard slices its
-            # rows of the identical global sample — cross-path reproducible).
-            shard_n = state.mu.shape[0]
-            full = jax.random.uniform(
-                k_sel, (shard_n * jax.lax.axis_size(CORPUS_AXIS),),
-                state.mu.dtype,
+        if strategy == "ital" and (pool_size or subsample_size):
+            # COMPACT pool path: gather the pool's moments once, score only
+            # the pool — selection cost scales with the pool, not the corpus.
+            if subsample_size:
+                # Same per-element threefry draw as the single-device path
+                # (the full-length uniform is counter-based, so each shard
+                # slices its rows of the identical global sample —
+                # cross-path reproducible).
+                shard_n = state.mu.shape[0]
+                full = jax.random.uniform(
+                    k_sel, (shard_n * n_dev,), state.mu.dtype
+                )
+                ranking_local = jax.lax.dynamic_slice(
+                    full, (_offset(shard_n),), (shard_n,)
+                )
+                psize = subsample_size
+            else:
+                ranking_local = None
+                psize = pool_size
+            pool_padded = -(-psize // n_dev) * n_dev
+            pool_gidx, pool_forbid = _sharded_pool_indices(
+                state, forbid, psize, pool_padded, ranking_local
             )
-            u_local = jax.lax.dynamic_slice(full, (_offset(shard_n),), (shard_n,))
-            outside_pool = _sharded_pool_mask(
-                state, forbid, subsample_size, ranking_local=u_local
+            batch = _sharded_ital_pool_greedy(
+                state, params, pool_gidx, pool_forbid, batch_size, n_qmc, n_dev
             )
+            return _finish_round(state, k_user, batch, relevant, ap_exclude,
+                                 params)
         if strategy == "rbmal":
             shard_n = state.x.shape[0]
             n_corpus = shard_n * jax.lax.axis_size(CORPUS_AXIS) - jax.lax.psum(
@@ -656,8 +748,6 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
         for t in range(batch_size):
             if strategy == "ital":
                 scores = _sharded_ital_scores(state, batch, t, params, n_qmc)
-                if outside_pool is not None:
-                    scores = jnp.where(outside_pool, neg, scores)
             elif strategy == "ital_regression":
                 scores = _sharded_regression_scores(state, batch, t, params)
             elif strategy == "emoc":
@@ -687,6 +777,10 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
                 forbid[jnp.clip(rel_pos, 0, shard_n - 1)] | owned
             )
 
+        return _finish_round(state, k_user, batch, relevant, ap_exclude, params)
+
+    def _finish_round(state, k_user, batch, relevant, ap_exclude, params):
+        """Shared round tail: simulate user -> GP update (or defer) -> metrics."""
         # --- user feedback (replicated: same key everywhere) ---
         y, valid = simulate_feedback(
             k_user, batch, relevant, params.label_prob, params.mistake_prob

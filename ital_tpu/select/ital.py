@@ -205,11 +205,84 @@ def candidate_pool_mask(
     ``ranking`` (labeled items never consume pool slots).  Shared by both
     reference candidate-restriction modes: top-ranked (`ranking = mu`) and
     random subsampling (`ranking = uniform draw`)."""
+    pool_idx, _ = candidate_pool_indices(state, ranking, pool_size)
+    return jnp.ones(state.mu.shape[0], bool).at[pool_idx].set(False)
+
+
+def candidate_pool_indices(
+    state: GPState, ranking: jax.Array, pool_size: int
+) -> tuple[jax.Array, jax.Array]:
+    """Top-``pool_size`` unlabeled candidates by ``ranking``, as indices.
+
+    Returns ``(pool_idx (pool,) int32, pool_forbid (pool,) bool)`` — the
+    global corpus indices of the pool in descending-``ranking`` order, plus a
+    flag marking slots that fell on excluded rows (only possible when
+    ``pool_size`` exceeds the number of selectable candidates); callers must
+    never pick flagged slots.  Tie-breaking matches ``jax.lax.top_k`` on the
+    full ranked vector (lowest index wins), so the pool is identical to the
+    one :func:`candidate_pool_mask` marks.
+    """
     from ital_tpu.select.base import labeled_mask
 
     ranked = jnp.where(labeled_mask(state), -jnp.inf, ranking)
-    _, pool_idx = jax.lax.top_k(ranked, pool_size)
-    return jnp.ones(state.mu.shape[0], bool).at[pool_idx].set(False)
+    vals, pool_idx = jax.lax.top_k(ranked, pool_size)
+    return pool_idx.astype(jnp.int32), ~jnp.isfinite(vals)
+
+
+def _select_ital_pool(
+    state: GPState,
+    batch_size: int,
+    params: StrategyParams,
+    pool_idx: jax.Array,
+    pool_forbid: jax.Array,
+    *,
+    n_qmc: int,
+    block: int = 1024,
+) -> jax.Array:
+    """Greedy ITAL over a COMPACT candidate pool — cost scales with the pool.
+
+    This is the tractability mode the reference's candidate restriction exists
+    for (SURVEY.md C3 "subsampling / restriction to top-ranked items for
+    tractability"): only the ``pool`` candidates' moments are gathered and
+    scored, so the per-round MI cost is O(pool * 2^m * n_qmc) independent of
+    the corpus size N — vs the full scan's O(N * ...).  Selection semantics
+    match masking the full-corpus scan to the same pool exactly (same scores
+    at pool members; tested in tests/test_ital.py), up to argmax tie order.
+    """
+    from ital_tpu.ops.kernels import rbf_kernel
+
+    h = state.hyper
+    dt = state.mu.dtype
+    x_pool = state.x[pool_idx]  # (pool, D)
+    v_pool = state.v[:, pool_idx]  # (cap, pool)
+    mu_pool = state.mu[pool_idx]
+    sig2_pool = state.sig2[pool_idx] + params.jitter
+
+    batch = jnp.zeros((batch_size,), jnp.int32)
+    forbid = pool_forbid
+    neg = jnp.asarray(-jnp.inf, dt)
+    for t in range(batch_size):
+        bsel = batch[:t]
+        mu_b = state.mu[bsel]
+        _, cov_bb = gp_predict_full(state, bsel)
+        cov_bb = cov_bb + params.jitter * jnp.eye(t, dtype=cov_bb.dtype)
+        if t > 0:
+            xb = state.x[bsel]
+            k_pb = rbf_kernel(x_pool, xb, h.length_scale, h.var)
+            cross = k_pb - jnp.dot(
+                v_pool.T, state.v[:, bsel], preferred_element_type=jnp.float32
+            ).astype(dt)
+        else:
+            cross = jnp.zeros((pool_idx.shape[0], 0), dt)
+        scores = mi_scores_from_moments(
+            mu_pool, sig2_pool, cross, mu_b, cov_bb, params,
+            t=t, n_qmc=n_qmc, block=block,
+        )
+        scores = jnp.where(forbid, neg, scores)
+        p = jnp.argmax(scores)
+        batch = batch.at[t].set(pool_idx[p])
+        forbid = forbid.at[p].set(True)
+    return batch
 
 
 @register("ital")
@@ -234,9 +307,12 @@ def select_ital(
     items") are both supported: ``pool_size > 0`` restricts selection to the
     top-ranked unlabeled items by posterior mean; ``subsample_size > 0``
     restricts to a per-round RANDOM subset of the unlabeled pool (seeded by
-    ``key``).  On TPU all candidates are scored anyway (one vmap); the
-    restriction is a mask, reproducing the reference's selection semantics at
-    zero extra cost.
+    ``key``).  Either restriction routes through the COMPACT pool scan
+    (:func:`_select_ital_pool`): only the pool's posterior moments are
+    gathered and scored, so selection cost scales with the pool size, not the
+    corpus — the actual cost reduction the reference's restriction exists for
+    (it loops over fewer candidates; the round-3 implementation here scored
+    all N and masked, reproducing the semantics at zero saving).
     """
     if batch_size > MAX_MI_BATCH:
         raise ValueError(
@@ -252,20 +328,26 @@ def select_ital(
             "restrictions (reference ITAL applies one or the other)"
         )
 
+    n = state.mu.shape[0]
     if subsample_size:
         # Per-round random subset: top-k of a uniform draw == a seeded
         # without-replacement sample, with a static shape.
-        u = jax.random.uniform(key, (state.mu.shape[0],), state.mu.dtype)
-        outside_pool = candidate_pool_mask(state, u, subsample_size)
+        u = jax.random.uniform(key, (n,), state.mu.dtype)
+        pool_idx, pool_forbid = candidate_pool_indices(
+            state, u, min(subsample_size, n)
+        )
     elif pool_size:
-        outside_pool = candidate_pool_mask(state, state.mu, pool_size)
+        pool_idx, pool_forbid = candidate_pool_indices(
+            state, state.mu, min(pool_size, n)
+        )
     else:
-        outside_pool = None
-
-    def score(batch, t):
-        s = score_candidates_mi(state, batch, t, params, n_qmc=n_qmc)
-        if outside_pool is not None:
-            s = jnp.where(outside_pool, -jnp.inf, s)
-        return s
-
-    return greedy_argmax_batch(score, state, batch_size)
+        return greedy_argmax_batch(
+            lambda batch, t: score_candidates_mi(
+                state, batch, t, params, n_qmc=n_qmc
+            ),
+            state,
+            batch_size,
+        )
+    return _select_ital_pool(
+        state, batch_size, params, pool_idx, pool_forbid, n_qmc=n_qmc
+    )

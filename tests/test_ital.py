@@ -239,6 +239,88 @@ def test_subsample_restricts_to_random_pool():
     assert (np.asarray(candidate_pool_mask(state, u2, 25)) != outside).any()
 
 
+def _warmed_state(seed=4, n_per_class=60, cap=16):
+    """Posterior with a query + a few labels so MI scores are distinct (the
+    uninformative posterior saturates MI at log 2^m and ties are
+    ULP-sensitive — CLAUDE.md)."""
+    import jax
+
+    from ital_tpu.data.datasets import toy_gaussians
+    from ital_tpu.models import gp as gp_mod
+
+    ds = toy_gaussians(n_per_class=n_per_class, n_classes=3, dim=2, seed=seed)
+    state = gp_mod.gp_init(jnp.asarray(ds.x), 1.5, 1.0, 0.1, cap=cap)
+    state = gp_mod.gp_set_query(state, jnp.asarray(5))
+    cls = int(ds.labels[5])
+    picks = [p % ds.n for p in (11, 40, 90, 130)]
+    ys = [1.0 if ds.relevance[i, cls] else -1.0 for i in picks]
+    state = gp_mod.gp_update(
+        state,
+        jnp.asarray(picks, jnp.int32),
+        jnp.asarray(ys, jnp.float32),
+        jnp.ones(len(picks), bool),
+    )
+    return ds, state
+
+
+@pytest.mark.parametrize("mode", ["pool", "subsample"])
+def test_compact_pool_matches_masked_full_scan(mode):
+    """The COMPACT pool scan (scores only the pool — VERDICT r3 item 1) picks
+    the same batch as masking a full-corpus scan to the same pool — the
+    round-3 semantics, now reproduced at pool-sized cost."""
+    import jax
+
+    from ital_tpu.select.base import StrategyParams, greedy_argmax_batch
+    from ital_tpu.select.ital import (
+        candidate_pool_mask,
+        score_candidates_mi,
+        select_ital,
+    )
+
+    ds, state = _warmed_state()
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.9), mistake_prob=jnp.asarray(0.05)
+    )
+    key = jax.random.PRNGKey(3)
+    pool = 25
+    kwargs = {"pool_size": pool} if mode == "pool" else {"subsample_size": pool}
+    batch = np.asarray(select_ital(state, 3, key, params, n_qmc=32, **kwargs))
+
+    # Masked full scan over the identical pool (the round-3 implementation).
+    ranking = (
+        state.mu if mode == "pool"
+        else jax.random.uniform(key, (ds.n,), state.mu.dtype)
+    )
+    outside = candidate_pool_mask(state, ranking, pool)
+
+    def score(b, t):
+        s = score_candidates_mi(state, b, t, params, n_qmc=32)
+        return jnp.where(outside, -jnp.inf, s)
+
+    batch_masked = np.asarray(greedy_argmax_batch(score, state, 3))
+    np.testing.assert_array_equal(batch, batch_masked)
+
+
+def test_compact_pool_oversized_pool_matches_unrestricted():
+    """pool_size >= number of candidates degenerates to the unrestricted scan
+    (every candidate is in the pool); oversized pools clamp to N."""
+    import jax
+
+    from ital_tpu.select.base import StrategyParams
+    from ital_tpu.select.ital import select_ital
+
+    ds, state = _warmed_state(n_per_class=12)
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.9), mistake_prob=jnp.asarray(0.05)
+    )
+    key = jax.random.PRNGKey(0)
+    full = np.asarray(select_ital(state, 2, key, params, n_qmc=32))
+    pooled = np.asarray(
+        select_ital(state, 2, key, params, n_qmc=32, pool_size=10 * ds.n)
+    )
+    np.testing.assert_array_equal(full, pooled)
+
+
 def test_pool_and_subsample_mutually_exclusive():
     import jax
     import pytest
