@@ -157,6 +157,13 @@ def run_experiment(
         "map": ap.mean(axis=0) if ap.size else np.zeros(cfg.n_rounds),
         "select_ms": timer.ms("select"),
         "update_ms": timer.ms("update"),
+        # Steady-state medians + the separated first-round cost (PROFILE.md
+        # section 6 recording rule): the mean above folds the first round's
+        # compile/cache-load/transfer into every per-round claim.
+        "select_ms_steady": round(timer.median_ms("select"), 3),
+        "update_ms_steady": round(timer.median_ms("update"), 3),
+        "first_round_ms": round(
+            timer.first_ms("select") + timer.first_ms("update"), 3),
         "sessions": sessions,
         "dataset": dataset.name,
         "method": cfg.method,
@@ -424,6 +431,8 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
         "map": ap_rows.mean(axis=0) if ap_rows.size else np.zeros(cfg.n_rounds),
         "select_ms": timer.ms("round"),
         "update_ms": 0.0,
+        "select_ms_steady": round(timer.median_ms("round"), 3),
+        "first_round_ms": round(timer.first_ms("round"), 3),
         "sessions": [{"rep": r, "cls": c, "query": q} for r, c, q, _ in plan],
         "dataset": dataset.name,
         "method": cfg.method,
@@ -520,6 +529,9 @@ def run_experiment_fused(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Dict
         "map": ap.mean(axis=0) if ap.size else np.zeros(cfg.n_rounds),
         "select_ms": timer.ms("session") / max(cfg.n_rounds, 1),
         "update_ms": 0.0,
+        "select_ms_steady": round(
+            timer.median_ms("session") / max(cfg.n_rounds, 1), 3),
+        "first_round_ms": round(timer.first_ms("session"), 3),
         "sessions": sessions,
         "dataset": dataset.name,
         "method": cfg.method,
@@ -632,6 +644,25 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
     )
 
     qb = int(cfg.query_batch or 0)
+    # Large-cap routing guard: fused/cohort programs absorb labels with the
+    # replicated incremental append INSIDE their device program, so a cap that
+    # crossed chol2d_threshold cannot take the distributed refit there — every
+    # chip (and in cohort mode every SESSION slot on every chip) would carry
+    # its own (cap, cap) factor.  Say so loudly instead of silently keeping
+    # the exact blow-up the threshold exists to avoid (VERDICT r3 weak 2).
+    crossed = bool(cfg.gp.chol2d_threshold
+                   and cfg.cap >= cfg.gp.chol2d_threshold)
+    if crossed and (fused or qb > 1):
+        per_chip_mb = cfg.cap * cfg.cap * 4 / 1e6 * max(qb, 1)
+        print(f"# WARNING: cap={cfg.cap} crossed chol2d_threshold="
+              f"{cfg.gp.chol2d_threshold} but fused/cohort sessions cannot "
+              f"use the distributed chol2d refit (the factor must stay "
+              f"replicated inside the fused program): "
+              f"~{per_chip_mb:.0f} MB of Cholesky factor per chip"
+              + (f" ({qb} cohort sessions x cap^2)" if qb > 1 else "")
+              + ". Unset fused_sessions/query_batch to enable the "
+              f"distributed refit (parallel/bigcap.py), or raise "
+              f"GP.chol2d_threshold to silence this.")
     if qb > 1:
         # Cohort mode on the mesh: query_batch x fused_sessions x mesh_devices
         # composed — K sessions x ALL rounds per dispatch, collectives batched
@@ -696,6 +727,9 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             "map": ap.mean(axis=0) if ap.size else np.zeros(cfg.n_rounds),
             "select_ms": timer.ms("cohort") / max(cfg.n_rounds, 1),
             "update_ms": 0.0,
+            "select_ms_steady": round(
+                timer.median_ms("cohort") / max(cfg.n_rounds, 1), 3),
+            "first_round_ms": round(timer.first_ms("cohort"), 3),
             "sessions": sessions,
             "dataset": dataset.name,
             "method": cfg.method,
@@ -861,6 +895,12 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
         "select_ms": (timer.ms("session") / max(cfg.n_rounds, 1)
                       if fused else timer.ms("round")),
         "update_ms": 0.0,
+        "select_ms_steady": round(
+            timer.median_ms("session") / max(cfg.n_rounds, 1)
+            if fused else timer.median_ms("round"), 3),
+        "first_round_ms": round(
+            timer.first_ms("session") if fused else timer.first_ms("round"),
+            3),
         "sessions": sessions,
         "dataset": dataset.name,
         "method": cfg.method,

@@ -47,6 +47,7 @@ class Timer:
         self.totals: dict[str, float] = {}
         self.counts: dict[str, int] = {}
         self.lasts: dict[str, float] = {}
+        self.values: dict[str, list[float]] = {}
 
     def span(self, name: str):
         return _Span(self, name)
@@ -62,6 +63,24 @@ class Timer:
         cost inside every later row; docs/PROFILE.md section 6)."""
         return 1e3 * self.lasts.get(name, 0.0)
 
+    def first_ms(self, name: str) -> float:
+        """Milliseconds of the FIRST span — compile / cache-load / transfer
+        cost, which must be reported separately, never averaged into
+        per-round claims (PROFILE.md section 6 recording rule)."""
+        v = self.values.get(name)
+        return 1e3 * v[0] if v else 0.0
+
+    def median_ms(self, name: str, *, skip_first: int = 1) -> float:
+        """Steady-state median milliseconds, excluding the first
+        ``skip_first`` spans (the compile/transfer rounds)."""
+        v = self.values.get(name, [])
+        v = v[skip_first:] or v
+        if not v:
+            return 0.0
+        s = sorted(v)
+        mid = len(s) // 2
+        return 1e3 * (s[mid] if len(s) % 2 else 0.5 * (s[mid - 1] + s[mid]))
+
 
 class _Span:
     def __init__(self, timer: Timer, name: str):
@@ -76,4 +95,5 @@ class _Span:
         self.timer.totals[self.name] = self.timer.totals.get(self.name, 0.0) + dt
         self.timer.counts[self.name] = self.timer.counts.get(self.name, 0) + 1
         self.timer.lasts[self.name] = dt
+        self.timer.values.setdefault(self.name, []).append(dt)
         return False

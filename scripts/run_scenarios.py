@@ -76,7 +76,7 @@ def main() -> int:
         print(f"== {name} ({cfg.dataset}, {cfg.method}, b={cfg.batch_size}, "
               f"{cfg.n_rounds} rounds, seeds={seeds})")
         t0 = time.time()
-        curves, select_ms = [], []
+        curves, select_ms, steady_ms, first_ms = [], [], [], []
         try:
             for seed in seeds:
                 res = run_experiment(
@@ -84,6 +84,8 @@ def main() -> int:
                 )
                 curves.append([round(float(v), 4) for v in res["map"]])
                 select_ms.append(res["select_ms"])
+                steady_ms.append(res.get("select_ms_steady", 0.0))
+                first_ms.append(res.get("first_round_ms", 0.0))
         except Exception as exc:  # record the failure, keep going
             summary[name] = {"error": f"{type(exc).__name__}: {exc}"}
             print(f"   ERROR {exc}")
@@ -99,7 +101,13 @@ def main() -> int:
             "map": [round(float(v), 4) for v in arr.mean(axis=0)],
             "map_std": [round(float(v), 4) for v in arr.std(axis=0)],
             "map_by_seed": {str(s): c for s, c in zip(seeds, curves)},
-            "select_ms": round(float(np.mean(select_ms)), 2),
+            # Headline timing is the STEADY-STATE median; the first round's
+            # compile/cache-load/transfer cost is a separate field, never
+            # averaged in (PROFILE.md section 6 recording rule; the round-3
+            # config-5 record violated it with a compile-polluted mean).
+            "select_ms_steady": round(float(np.median(steady_ms)), 2),
+            "first_round_ms": round(float(np.median(first_ms)), 2),
+            "select_ms_mean_DEPRECATED": round(float(np.mean(select_ms)), 2),
             "wall_s": round(time.time() - t0, 1),
             # Full provenance so smoke runs are distinguishable from evidence.
             "n_rounds": cfg.n_rounds,
