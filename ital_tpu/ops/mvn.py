@@ -304,6 +304,62 @@ def orthant_probs_all_configs_tree(
     return probs
 
 
+@functools.lru_cache(maxsize=None)
+def shift_table(n_shifts: int, dim: int, seed: int = 0) -> np.ndarray:
+    """(n_shifts, dim) deterministic Cranley-Patterson shifts (host-side).
+
+    Fixed by ``seed`` so multi-shift runs stay exactly reproducible
+    (SURVEY.md section 5 "--deterministic"); shift 0 is the zero shift, so the
+    first replicate is the production unshifted lattice estimate.
+    """
+    rng = np.random.default_rng(seed)
+    t = rng.random((n_shifts, max(dim, 1))).astype(np.float32)[:, :dim]
+    if n_shifts:
+        t[0] = 0.0
+    return t
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_points", "n_shifts", "seed", "normalize")
+)
+def orthant_probs_with_error(
+    mu: jax.Array,
+    chol_cov: jax.Array,
+    *,
+    n_points: int = 128,
+    n_shifts: int = 4,
+    seed: int = 0,
+    normalize: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """All 2^m orthant probabilities plus an internal QMC error estimate.
+
+    Randomized-QMC error estimation by Cranley-Patterson rotation — the same
+    mechanism Genz's Fortran MVNDST uses for its returned error bound
+    (SURVEY.md section 2.2 N3: the reference's MVNDST adapts its sample count
+    to an error estimate; this is the rebuild's equivalent, measured rather
+    than adaptive): the lattice is evaluated under ``n_shifts`` fixed random
+    shifts, whose replicate estimates are i.i.d. unbiased; the returned
+    ``err`` is the standard error of their mean,
+
+        err_k = std_shifts(p_k) / sqrt(n_shifts).
+
+    Returns ``(probs (2^m,), err (2^m,))`` with ``probs`` the across-shift
+    mean (a strictly better estimate than any single replicate).  Cost is
+    ``n_shifts`` tree evaluations; production selection keeps the single
+    unshifted lattice (err is a diagnostic/validation surface — see
+    scripts/qmc_error_study.py and docs/PROFILE.md section 7).
+    """
+    m = mu.shape[0]
+    shifts = jnp.asarray(shift_table(n_shifts, m - 1, seed), mu.dtype)
+    probs = jax.vmap(
+        lambda sh: orthant_probs_all_configs_tree(
+            mu, chol_cov, n_points=n_points, shift=sh, normalize=normalize
+        )
+    )(shifts)
+    err = jnp.std(probs, axis=0) / np.sqrt(n_shifts)
+    return jnp.mean(probs, axis=0), err
+
+
 def orthant_probs_all_configs(
     mu: jax.Array,
     chol_cov: jax.Array,

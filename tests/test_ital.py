@@ -139,8 +139,9 @@ def test_batch_size_guard():
 
 def test_greedy_selection_matches_oracle_b5(rng):
     """Greedy batch parity at b=5 — exercises the m=5 orthant tree (the
-    largest routinely-used batch; MAX_MI_BATCH=6) with a noisy user model so
-    MI scores stay off the saturated-tie plateau."""
+    largest routinely-used batch; the guard sits at the measured
+    MAX_MI_BATCH=8) with a noisy user model so MI scores stay off the
+    saturated-tie plateau."""
     state, ogp = _fitted_pair(
         rng, n=24, labeled=((3, 1.0), (17, -1.0), (9, 1.0), (20, -1.0))
     )

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from ital_tpu.ops.mvn import mvn_orthant_prob, orthant_probs_all_configs
+from ital_tpu.select.base import StrategyParams
 from tests.oracle.numpy_oracle import mvn_orthant
 
 
@@ -107,11 +108,13 @@ def test_tree_orthants_equal_naive(rng, m):
     np.testing.assert_allclose(np.asarray(tree), np.asarray(naive), atol=2e-6)
 
 
-def test_against_scipy_genz_m6(rng):
-    """m=6 — the largest batch the framework accepts (select/ital.py
-    MAX_MI_BATCH): accuracy vs scipy MVNDST still holds at a documented,
-    slightly looser tolerance (the fixed-lattice QMC error grows with m)."""
-    m = 6
+@pytest.mark.parametrize("m", [6, 8])
+def test_against_scipy_genz_large_m(rng, m):
+    """m=6 and m=8 — m=8 is the largest batch the framework accepts
+    (select/ital.py MAX_MI_BATCH, raised from 6 after the round-4
+    measurement: scripts/qmc_error_study.py / docs/PROFILE.md section 7):
+    accuracy vs scipy MVNDST holds at a documented, slightly looser
+    tolerance (the fixed-lattice QMC error grows with m)."""
     a = rng.normal(size=(m, m))
     cov = a @ a.T + m * np.eye(m)
     mu = rng.normal(size=(m,)) * 0.8
@@ -125,3 +128,63 @@ def test_against_scipy_genz_m6(rng):
         )
         ref = mvn_orthant(mu, cov, signs)
         assert ours == pytest.approx(ref, abs=8e-3), signs
+
+
+def test_orthant_error_estimate_tracks_true_error(rng):
+    """The Cranley-Patterson across-shift standard error (round 4 — the
+    rebuild's answer to MVNDST's returned error bound) is a usable internal
+    error estimate: the multi-shift mean's TRUE error vs scipy stays within a
+    small multiple of the self-estimate, and shift 0 reproduces the
+    production unshifted estimate exactly."""
+    from ital_tpu.ops.mvn import (
+        orthant_probs_all_configs_tree,
+        orthant_probs_with_error,
+        shift_table,
+    )
+
+    m = 4
+    a = rng.normal(size=(m, m))
+    cov = (a @ a.T + 0.5 * m * np.eye(m)) / m
+    mu = rng.normal(size=(m,)) * 0.7
+    chol = _chol(cov)
+    muj = jnp.asarray(mu, jnp.float32)
+
+    # Shift 0 of the table is the zero shift == the production estimate.
+    assert np.all(shift_table(4, m - 1)[0] == 0.0)
+    p1, e1 = orthant_probs_with_error(muj, chol, n_points=128, n_shifts=1)
+    base = orthant_probs_all_configs_tree(muj, chol, n_points=128)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(base), atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(e1), 0.0)
+
+    pm, err = orthant_probs_with_error(muj, chol, n_points=128, n_shifts=8)
+    pm, err = np.asarray(pm, np.float64), np.asarray(err, np.float64)
+    from itertools import product
+
+    table = np.asarray(list(product([-1.0, 1.0], repeat=m)))
+    truth = np.maximum([mvn_orthant(mu, cov, s) for s in table], 0.0)
+    truth = truth / truth.sum()
+    # Each config's true error within a small multiple of its self-estimate
+    # (standard-error scaling; 6x + floor absorbs the t-distribution tail).
+    assert np.all(np.abs(pm - truth) < 6.0 * err + 5e-4)
+
+
+def test_mi_with_error_tracks_oracle(rng):
+    """mi_with_error's across-shift std bounds the MI estimator's true error
+    vs the dense-oracle MI (the in-pipeline m-wall measurement surface)."""
+    from ital_tpu.ops.mvn import small_cholesky
+    from ital_tpu.select.ital import mi_with_error
+    from tests.oracle.numpy_oracle import mutual_information
+
+    m = 4
+    a = rng.normal(size=(m, m))
+    cov = (a @ a.T + 0.5 * m * np.eye(m)) / m + 1e-6 * np.eye(m)
+    mu = rng.normal(size=(m,)) * 0.7
+    params = StrategyParams(label_prob=jnp.asarray(0.8),
+                            mistake_prob=jnp.asarray(0.05))
+    est, err = mi_with_error(
+        jnp.asarray(mu, jnp.float32),
+        small_cholesky(jnp.asarray(cov, jnp.float32)),
+        params, n_qmc=128, n_shifts=8,
+    )
+    truth = mutual_information(mu, cov, 0.8, 0.05)
+    assert abs(float(est) - truth) < 6.0 * float(err) + 2e-3
