@@ -61,6 +61,19 @@ class NotFound(KeyError):
     malformed bodies map to 400)."""
 
 
+def _density_compatible(sessions) -> bool:
+    """True when the group shares ONE corpus density (all without, or all with
+    the same construction length-scale — the vector's only input), so it can
+    ride as an unbatched axis in the cohort programs."""
+    dens = [s.state.density for s in sessions]
+    if all(d is None for d in dens):
+        return True
+    if any(d is None for d in dens):
+        return False
+    keys = {getattr(s, "_density_ls", None) for s in sessions}
+    return None not in keys and len(keys) == 1
+
+
 class RetrievalService:
     """Session registry over one shared corpus — the HTTP-agnostic core."""
 
@@ -96,6 +109,13 @@ class RetrievalService:
         self._next = 0
         self._lock = threading.Lock()
         self._batched_select_cache: Dict[tuple, object] = {}
+        self._batched_update_cache: Dict[int, object] = {}
+        # Corpus information density, computed lazily once PER length-scale
+        # (it depends on nothing else) and shared by every density-strategy
+        # session at that scale (identical array object), so cohort endpoints
+        # can batch density sessions with the vector as an unbatched axis —
+        # the same sharing the runner does per dataset.
+        self._density_by_ls: Dict[float, object] = {}
 
     def health(self) -> dict:
         return {"ok": True, "corpus": self.corpus_name,
@@ -114,6 +134,22 @@ class RetrievalService:
             label_prob=float(cfg["label_prob"]),
             mistake_prob=float(cfg["mistake_prob"]),
         )
+        from ital_tpu.runner import DENSITY_STRATEGIES
+
+        if str(cfg["strategy"]) in DENSITY_STRATEGIES:
+            from ital_tpu.models import gp as gp_mod
+
+            ls = float(cfg["length_scale"])
+            with self._lock:
+                dens = self._density_by_ls.get(ls)
+                if dens is None:
+                    dens = gp_mod.corpus_density(sess.state)
+                    self._density_by_ls[ls] = dens
+            sess.state = sess.state.replace(density=dens)
+            # Cohort-compatibility key: jitted updates re-materialize every
+            # state leaf, so object identity can't mark the shared vector —
+            # the construction length-scale (its only input) does.
+            sess._density_ls = ls
         with self._lock:
             sid = f"s{self._next}"
             self._next += 1
@@ -157,10 +193,14 @@ class RetrievalService:
             lock.acquire()
         try:
             sessions = [s for _, s, _ in entries]
+            # Density sessions batch too: the vector is corpus-shared (one
+            # per length-scale — create_session), so it rides as an UNBATCHED
+            # axis exactly like x.  Only a mixed group (with/without density,
+            # or different construction length scales) falls back.
             compatible = (
                 len({s.strategy_name for s in sessions}) == 1
                 and len({s.state.cap for s in sessions}) == 1
-                and all(s.state.density is None for s in sessions)
+                and _density_compatible(sessions)
             )
             if not compatible or len(sessions) == 1:
                 return {sid: [int(i) for i in s.fetch_unlabelled(int(k))]
@@ -170,29 +210,14 @@ class RetrievalService:
             for s in sessions:
                 s._key, sub = jax.random.split(s._key)
                 keys.append(sub)
-            from ital_tpu.models.gp import GPHyper, GPState
-
-            stack = lambda leaves: jnp.stack(leaves)
-            sts = [s.state for s in sessions]
-            state_b = GPState(
-                x=sts[0].x,  # shared corpus buffer, unbatched
-                idx=stack([t.idx for t in sts]), y=stack([t.y for t in sts]),
-                valid=stack([t.valid for t in sts]),
-                count=stack([t.count for t in sts]),
-                l=stack([t.l for t in sts]), beta=stack([t.beta for t in sts]),
-                v=stack([t.v for t in sts]), mu=stack([t.mu for t in sts]),
-                sig2=stack([t.sig2 for t in sts]),
-                hyper=GPHyper(
-                    length_scale=stack([t.hyper.length_scale for t in sts]),
-                    var=stack([t.hyper.var for t in sts]),
-                    noise=stack([t.hyper.noise for t in sts]),
-                ),
-            )
+            # State stacking happens INSIDE the jitted program (one dispatch;
+            # per-leaf host-side stacks each cost a dispatch on this tunnel).
+            sts = tuple(s.state for s in sessions)
             params_b = jax.tree.map(
                 lambda *ls: jnp.stack(ls), *[s.params for s in sessions]
             )
             fn = self._batched_select(sessions[0].strategy_name, int(k))
-            batches = np.asarray(fn(state_b, jnp.stack(keys), params_b))
+            batches = np.asarray(fn(sts, jnp.stack(keys), params_b))
             return {sid: [int(i) for i in row]
                     for (sid, _, _), row in zip(entries, batches)}
         finally:
@@ -200,8 +225,10 @@ class RetrievalService:
                 lock.release()
 
     def _batched_select(self, strategy: str, k: int):
-        """Cached jitted vmap of a strategy over the session axis."""
+        """Cached jitted stack -> vmapped strategy over the session axis
+        (the stack rides inside the compiled program — one dispatch)."""
         import jax
+        import jax.numpy as jnp
 
         key = (strategy, k)
         fn = self._batched_select_cache.get(key)
@@ -215,10 +242,35 @@ class RetrievalService:
                 hyper=GPHyper(length_scale=0, var=0, noise=0), density=None,
             )
             select = get_strategy(strategy)
-            fn = jax.jit(jax.vmap(
+            select_v = jax.vmap(
                 lambda st, kk, pp: select(st, k, kk, pp),
                 in_axes=(axes_state, 0, 0),
-            ))
+            )
+
+            def run(sts, keys, params_b):
+                stack = lambda leaves: jnp.stack(leaves)
+                state_b = GPState(
+                    x=sts[0].x,  # shared corpus buffer, unbatched
+                    idx=stack([t.idx for t in sts]),
+                    y=stack([t.y for t in sts]),
+                    valid=stack([t.valid for t in sts]),
+                    count=stack([t.count for t in sts]),
+                    l=stack([t.l for t in sts]),
+                    beta=stack([t.beta for t in sts]),
+                    v=stack([t.v for t in sts]),
+                    mu=stack([t.mu for t in sts]),
+                    sig2=stack([t.sig2 for t in sts]),
+                    hyper=GPHyper(
+                        length_scale=stack(
+                            [t.hyper.length_scale for t in sts]),
+                        var=stack([t.hyper.var for t in sts]),
+                        noise=stack([t.hyper.noise for t in sts]),
+                    ),
+                    density=sts[0].density,  # shared, unbatched (may be None)
+                )
+                return select_v(state_b, keys, params_b)
+
+            fn = jax.jit(run)
             self._batched_select_cache[key] = fn
         return fn
 
@@ -228,6 +280,143 @@ class RetrievalService:
             sess.update({int(i): (None if v in (0, None) else int(v))
                          for i, v in labels.items()})
             return {"labeled": int(np.asarray(sess.state.count))}
+
+    def feedback_many(self, fb: Dict[str, Dict[str, int]]) -> Dict[str, dict]:
+        """Absorb MANY sessions' feedback in one vmapped ``gp_update``.
+
+        The other half of the cohort round (VERDICT r3 weak 4: selection
+        batched over HTTP but absorption stayed per-session): label blocks are
+        padded to ONE shared width (the cohort's max, rounded to the session
+        bucket), per-session state batches on a leading axis over the shared
+        corpus, and one compiled update advances the whole cohort — the
+        runner's ``round_v`` absorption exposed to the serving surface.
+        Requires identical capacity across the group and room for the padded
+        block in every session; otherwise falls back to per-session updates
+        with identical results (pad slots are valid=False — inert — exactly
+        as in :meth:`ActiveRetrieval.update`).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ital_tpu.models.session import _UPDATE_BUCKET
+
+        fb = {sid: labels for sid, labels in fb.items()}
+        entries = [(sid, *self._entry(sid)) for sid in fb]
+        for _, _, lock in sorted(entries, key=lambda e: e[0]):
+            lock.acquire()
+        try:
+            sessions = [s for _, s, _ in entries]
+            widths = [len(labels) for labels in fb.values()]
+            bpad = -(-max(widths, default=0) // _UPDATE_BUCKET) * _UPDATE_BUCKET
+            caps_equal = len({s.state.cap for s in sessions}) == 1
+            fits = all(
+                int(np.asarray(s.state.count)) + bpad <= s.state.cap
+                for s in sessions
+            )
+            dens_shared = _density_compatible(sessions)
+            if (not caps_equal or not fits or not dens_shared
+                    or len(sessions) <= 1 or bpad == 0):
+                return {sid: self._apply_feedback_locked(s, labels)
+                        for (sid, s, _), labels in zip(entries, fb.values())}
+
+            k = len(sessions)
+            idx = np.zeros((k, bpad), np.int32)
+            y = np.zeros((k, bpad), np.float32)
+            for j, labels in enumerate(fb.values()):
+                items = [(int(i), 0 if v in (0, None) else int(v))
+                         for i, v in labels.items()]
+                idx[j, : len(items)] = [i for i, _ in items]
+                y[j, : len(items)] = [v for _, v in items]
+            valid = y != 0.0
+
+            # ONE compiled program: stack K states -> vmapped gp_update ->
+            # unstack.  Doing the stack/unstack op-by-op on the host costs
+            # ~(2 x K x leaves) tiny dispatches, which measured SLOWER than
+            # K individual updates behind the tunnel's per-dispatch cost.
+            sts = tuple(s.state for s in sessions)
+            new_states, counts = self._cohort_update(k)(
+                sts, jnp.asarray(idx), jnp.asarray(y), jnp.asarray(valid)
+            )
+            counts = np.asarray(counts)
+            for j, (_, s, _) in enumerate(entries):
+                s.state = new_states[j]
+            return {sid: {"labeled": int(counts[j])}
+                    for j, (sid, _, _) in enumerate(entries)}
+        finally:
+            for _, _, lock in entries:
+                lock.release()
+
+    @staticmethod
+    def _apply_feedback_locked(sess, labels: Dict[str, int]) -> dict:
+        """Per-session fallback body (caller already holds the lock)."""
+        sess.update({int(i): (None if v in (0, None) else int(v))
+                     for i, v in labels.items()})
+        return {"labeled": int(np.asarray(sess.state.count))}
+
+    def _cohort_update(self, k: int):
+        """Cached jitted stack -> vmapped ``gp_update`` -> unstack for a
+        cohort of ``k`` sessions (one device dispatch end to end; jit
+        re-specializes per (k, bpad, density-presence) signature)."""
+        import jax
+        import jax.numpy as jnp
+
+        fn = self._batched_update_cache.get(k)
+        if fn is None:
+            from ital_tpu.models import gp as gp_mod
+            from ital_tpu.models.gp import GPHyper, GPState
+
+            axes_state = GPState(
+                x=None, idx=0, y=0, valid=0, count=0, l=0, beta=0, v=0,
+                mu=0, sig2=0,
+                hyper=GPHyper(length_scale=0, var=0, noise=0), density=None,
+            )
+            update_v = jax.vmap(
+                gp_mod.gp_update, in_axes=(axes_state, 0, 0, 0),
+                out_axes=axes_state,
+            )
+
+            def run(sts, idx, y, valid):
+                stack = lambda leaves: jnp.stack(leaves)
+                state_b = GPState(
+                    x=sts[0].x,
+                    idx=stack([t.idx for t in sts]),
+                    y=stack([t.y for t in sts]),
+                    valid=stack([t.valid for t in sts]),
+                    count=stack([t.count for t in sts]),
+                    l=stack([t.l for t in sts]),
+                    beta=stack([t.beta for t in sts]),
+                    v=stack([t.v for t in sts]),
+                    mu=stack([t.mu for t in sts]),
+                    sig2=stack([t.sig2 for t in sts]),
+                    hyper=GPHyper(
+                        length_scale=stack(
+                            [t.hyper.length_scale for t in sts]),
+                        var=stack([t.hyper.var for t in sts]),
+                        noise=stack([t.hyper.noise for t in sts]),
+                    ),
+                    density=sts[0].density,  # shared, unbatched (may be None)
+                )
+                nb = update_v(state_b, idx, y, valid)
+                outs = tuple(
+                    GPState(
+                        x=sts[0].x,
+                        idx=nb.idx[j], y=nb.y[j], valid=nb.valid[j],
+                        count=nb.count[j], l=nb.l[j], beta=nb.beta[j],
+                        v=nb.v[j], mu=nb.mu[j], sig2=nb.sig2[j],
+                        hyper=GPHyper(
+                            length_scale=nb.hyper.length_scale[j],
+                            var=nb.hyper.var[j],
+                            noise=nb.hyper.noise[j],
+                        ),
+                        density=sts[0].density,
+                    )
+                    for j in range(len(sts))
+                )
+                return outs, nb.count
+
+            fn = jax.jit(run)
+            self._batched_update_cache[k] = fn
+        return fn
 
     def ranking(self, sid: str, k: int) -> dict:
         sess, lock = self._entry(sid)
@@ -361,6 +550,11 @@ class _Handler(BaseHTTPRequestHandler):
             body = self._body()
             return self._json(200, {"batches": svc.next_batch_many(
                 list(body.get("session_ids", [])), int(body.get("k", 4))
+            )})
+        if method == "POST" and path == "/batch_feedback":
+            body = self._body()
+            return self._json(200, {"sessions": svc.feedback_many(
+                dict(body.get("feedback", {}))
             )})
         if method == "POST" and path == "/sessions":
             body = self._body()

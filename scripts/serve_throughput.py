@@ -85,6 +85,28 @@ def main() -> int:
     ))
     one_ms = timed(lambda: _req(f"{base}/sessions/{sids[0]}/batch?k=4"))
 
+    # Full cohort ROUND trip: batched selection + batched absorption (round
+    # 4's POST /batch_feedback — one vmapped gp_update for the group) vs the
+    # same round driven per-session.  This is the gateway's whole-round cost.
+    def full_round_cohort():
+        r = _req(f"{base}/batch_select", "POST",
+                 {"session_ids": sids, "k": 4})
+        fb = {sid: {str(i): (1 if ds.labels[i] == ds.labels[int(b[0])] else -1)
+                    for i in b}
+              for sid, b in r["batches"].items()}
+        _req(f"{base}/batch_feedback", "POST", {"feedback": fb})
+
+    def full_round_individual():
+        for s in sids:
+            b = _req(f"{base}/sessions/{s}/batch?k=4")["batch"]
+            labs = {str(i): (1 if ds.labels[i] == ds.labels[int(b[0])] else -1)
+                    for i in b}
+            _req(f"{base}/sessions/{s}/feedback", "POST", {"labels": labs})
+
+    full_round_cohort()  # warm the batched update program
+    round_cohort_ms = timed(full_round_cohort, reps=4)
+    round_indiv_ms = timed(full_round_individual, reps=4)
+
     report = {
         "corpus": f"{CORPUS} ({ds.n} x {ds.x.shape[1]})",
         "k_sessions": K,
@@ -93,6 +115,10 @@ def main() -> int:
         "batch_select_ms_total": round(cohort_ms, 1),
         "batch_select_ms_per_session": round(cohort_ms / K, 2),
         "speedup_vs_individual": round(single_ms / cohort_ms, 2),
+        "full_round_cohort_ms_total": round(round_cohort_ms, 1),
+        "full_round_cohort_ms_per_session": round(round_cohort_ms / K, 2),
+        "full_round_individual_ms": round(round_indiv_ms, 1),
+        "full_round_speedup": round(round_indiv_ms / round_cohort_ms, 2),
     }
     name = ("serve_throughput.json" if CORPUS == "digits"
             else f"serve_throughput_{CORPUS}.json")
