@@ -35,7 +35,7 @@ DEFAULT_METHODS = ["ital", "uncertainty_sampling", "random"]
 
 
 def run_one(method: str, label_prob: float, mistake_prob: float, seed: int,
-            gp_noise: float | None):
+            gp_noise: float | None, learn_every: int = 0):
     from ital_tpu.runner import run_experiment
     from ital_tpu.utils.config import load_config
 
@@ -49,6 +49,8 @@ def run_one(method: str, label_prob: float, mistake_prob: float, seed: int,
     ]
     if gp_noise is not None:
         overrides.append(f"GP.noise={gp_noise}")
+    if learn_every:
+        overrides.append(f"GP.learn_every={learn_every}")
     cfg = load_config(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "configs", "mirflickr.ini"),
@@ -69,6 +71,11 @@ def main() -> int:
                     help="comma-separated seeds; recorded rows are mean+/-std")
     ap.add_argument("--gp-noise", type=float, default=None,
                     help="override GP noise (suffixes the output filename)")
+    ap.add_argument("--learn-every", type=int, default=0,
+                    help="GP.learn_every: online type-II-ML hyperparameter "
+                         "relearn cadence (suffixes the output filename) — "
+                         "the misspecification-recovery experiment of "
+                         "docs/NOISE_ANALYSIS.md Finding 4")
     ap.add_argument("--methods", default=",".join(DEFAULT_METHODS))
     args = ap.parse_args()
 
@@ -80,6 +87,8 @@ def main() -> int:
     stem = "mirflickr_methods_heavynoise" if args.heavy else "mirflickr_methods"
     if args.gp_noise is not None:
         stem += f"_gpnoise{args.gp_noise:g}"
+    if args.learn_every:
+        stem += f"_learn{args.learn_every}"
     out_name = os.path.join(repo, "results", stem + ".json")
 
     record: dict = {}
@@ -87,7 +96,8 @@ def main() -> int:
         curves, walls = [], []
         for seed in seeds:
             print(f"== {m} seed={seed}", flush=True)
-            res, wall = run_one(m, lp, mp, seed, args.gp_noise)
+            res, wall = run_one(m, lp, mp, seed, args.gp_noise,
+                                args.learn_every)
             curves.append([round(float(v), 4) for v in res["map"]])
             walls.append(round(wall, 1))
             print(f"   final MAP {res['map'][-1]:.4f} ({wall:.1f}s)", flush=True)
@@ -104,6 +114,7 @@ def main() -> int:
             "n_rounds": len(res["map"]),
             "user": f"label_prob={lp}, mistake_prob={mp}",
             "gp_noise": args.gp_noise,
+            "learn_every": args.learn_every,
             "mode": "cohort-fused (query_batch=7)",
         }
     os.makedirs(os.path.dirname(out_name), exist_ok=True)
