@@ -23,6 +23,48 @@ def test_timer_last_vs_mean():
     assert t.last_ms("missing") == 0.0 and t.ms("missing") == 0.0
 
 
+def test_timer_steady_median_excludes_first():
+    """Steady-state medians (round 4): first_ms separates the compile round,
+    median_ms skips it; with only the first span recorded the median falls
+    back to it rather than reporting 0."""
+    import time
+
+    from ital_tpu.utils.logging import Timer
+
+    t = Timer()
+    with t.span("round"):
+        time.sleep(0.05)  # "compile" round
+    assert t.median_ms("round") > 30  # fallback: only the first exists
+    for _ in range(4):
+        with t.span("round"):
+            time.sleep(0.002)
+    assert t.first_ms("round") > 30
+    assert t.median_ms("round") < 30  # first round excluded
+    assert t.median_ms("missing") == 0.0 and t.first_ms("missing") == 0.0
+
+
+def test_runner_reports_steady_and_first_round_timing():
+    """Every run_experiment result carries select_ms_steady + first_round_ms
+    (the PROFILE.md section 6 recording rule, machine-enforced for scenario
+    records)."""
+    from ital_tpu.runner import run_experiment
+    from ital_tpu.utils.config import ExperimentConfig, GPConfig, UserConfig
+
+    cfg = ExperimentConfig(
+        dataset="toy",
+        dataset_kwargs=dict(n_per_class=20, n_classes=2, dim=2, seed=0),
+        method="uncertainty_sampling", batch_size=2, n_rounds=3,
+        repetitions=1, queries_per_class=1, max_classes=1, seed=0,
+        user=UserConfig(label_prob=1.0, mistake_prob=0.0),
+        gp=GPConfig(length_scale=1.5, var=1.0, noise=0.1, cap=16),
+    )
+    res = run_experiment(cfg)
+    assert res["first_round_ms"] > 0
+    assert 0 < res["select_ms_steady"] <= res["select_ms"] * 1.5
+    # The first (compile) round must not be inside the steady median.
+    assert res["select_ms_steady"] < res["first_round_ms"]
+
+
 def test_plot_results_loads_record_formats(tmp_path):
     """plot_results.load_records handles all three input schemas: runner
     JSONL, single-scenario records, and method-comparison records (with and
