@@ -34,6 +34,9 @@ DENSITY_STRATEGIES = {"sud", "tcal", "adapt_al"}
 # Recall@k cutoffs logged alongside AP each round (BASELINE.md "Recall@k").
 RECALL_KS = (10, 50)
 
+# Process-wide jitted from-scratch refit (GPConfig.refit_every drift refresh).
+_jit_refit = jax.jit(gp_mod.gp_fit)
+
 
 def _check_capacity(cfg: ExperimentConfig, *, query_slots: int = 1) -> None:
     """Fail fast when the labeled buffers cannot hold the whole experiment.
@@ -217,6 +220,10 @@ def _run_session(
             ap.block_until_ready()
         if cfg.gp.learn_every and (rnd + 1) % cfg.gp.learn_every == 0:
             state = _relearn_hyperparams(state, cfg)
+        elif cfg.gp.refit_every and (rnd + 1) % cfg.gp.refit_every == 0:
+            # Periodic drift refresh (GPConfig.refit_every): from-scratch
+            # refit bounds long-horizon f32 append error (drift_study.json).
+            state = _jit_refit(state)
         curve.append(float(ap))
         logger.log(
             rep=rep, cls=c, query=q, round=rnd, ap=float(ap),
@@ -870,6 +877,11 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
                             state = shard_state(
                                 _relearn_hyperparams(state, cfg), mesh
                             )
+                    elif (cfg.gp.refit_every and not bigcap
+                          and (rnd + 1) % cfg.gp.refit_every == 0):
+                        # Drift refresh; the bigcap path already refits
+                        # every round by construction.
+                        state = shard_state(_jit_refit(state), mesh)
                     curve.append(float(ap))
                     logger.log(
                         rep=rep, cls=c, query=q, round=rnd, ap=float(ap),

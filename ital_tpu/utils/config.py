@@ -35,6 +35,16 @@ class GPConfig:
     learn_steps: int = 50
     learn_lr: float = 0.05
     learn_noise: bool = True
+    # Periodic from-scratch re-factorization: every ``refit_every`` feedback
+    # rounds the incremental-append posterior is replaced by a full gp_fit
+    # from the label buffers, bounding long-horizon f32 drift.  0 = never —
+    # the measured default: over 250 rounds at cap=1024 the append's error
+    # saturates at ~8x the refit's own f32 floor with no ranking effect
+    # (results/drift_study.json; docs/ARCHITECTURE.md "Long-horizon drift"),
+    # so refreshing is insurance, not a need.  Serial and per-round sharded
+    # modes only (fused/cohort programs keep the pure append; the bigcap
+    # path refits every round by construction).
+    refit_every: int = 0
 
 
 @dataclasses.dataclass

@@ -86,9 +86,18 @@ def main() -> int:
     ap.add_argument("--rounds", type=int, default=250)
     ap.add_argument("--every", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--noisy", action="store_true",
+                    help="lp=0.8/mp=0.05 user (AP stays un-saturated, so the "
+                         "ranking-effect columns are informative)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (same f32 math; never "
+                         "competes for the chip lease)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ital_tpu.data.datasets import mirflickr
@@ -109,8 +118,9 @@ def main() -> int:
     state = gp_mod.gp_set_query(
         gp_mod.gp_init(jnp.asarray(ds.x), LS, VAR, NOISE, CAP), jnp.asarray(q)
     )
+    lp, mp = (0.8, 0.05) if args.noisy else (1.0, 0.0)
     params = StrategyParams(
-        label_prob=jnp.asarray(1.0), mistake_prob=jnp.asarray(0.0)
+        label_prob=jnp.asarray(lp), mistake_prob=jnp.asarray(mp)
     )
     select = get_strategy("uncertainty_sampling")
 
@@ -141,7 +151,22 @@ def main() -> int:
         mu_re = np.asarray(st_re.mu, np.float64)
         s2_re = np.asarray(st_re.sig2, np.float64)
         mu_or, s2_or = oracle_posterior(x64, idx, yv, valid, count)
+
+        # Ranking effect beyond (possibly saturated) AP: fraction of the
+        # oracle's top-100 unlabeled items that each f32 ranking reproduces.
+        labeled_rows = np.zeros(ds.n, bool)
+        labeled_rows[idx[(np.arange(CAP) < count) & valid]] = True
+
+        def top100(mu):
+            m = np.where(labeled_rows, -np.inf, mu)
+            return set(np.argsort(-m)[:100].tolist())
+
+        t_or = top100(mu_or)
         row = {
+            "top100_overlap_inc": len(top100(mu_inc) & t_or) / 100.0,
+            "top100_overlap_refit": len(top100(mu_re) & t_or) / 100.0,
+        }
+        row |= {
             "round": rnd,
             "labeled": count,
             "mu_inf_inc": float(np.max(np.abs(mu_inc - mu_or))),
@@ -163,11 +188,14 @@ def main() -> int:
         "corpus": ds.name, "n": ds.n, "dim": int(ds.x.shape[1]),
         "cap": CAP, "batch": BATCH, "rounds": args.rounds,
         "seed": args.seed, "strategy": "uncertainty_sampling",
+        "user": {"label_prob": lp, "mistake_prob": mp},
+        "platform": jax.devices()[0].platform,
         "hyper": {"length_scale": LS, "var": VAR, "noise": NOISE},
         "wall_s": round(time.time() - t0, 1),
         "rows": rows,
     }
-    path = os.path.join(REPO, "results", "drift_study.json")
+    name = "drift_study_noisy.json" if args.noisy else "drift_study.json"
+    path = os.path.join(REPO, "results", name)
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"wrote {path}", flush=True)

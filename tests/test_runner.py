@@ -244,6 +244,36 @@ def test_oracle_end_to_end_map_curve_parity(label_prob, mistake_prob):
         assert curve_tpu[-1] > curve_tpu[0] - 0.05  # the session actually learns
 
 
+def test_refit_every_matches_plain_run():
+    """GP.refit_every (round-4 drift-refresh policy): periodically swapping
+    the incremental-append posterior for a from-scratch gp_fit changes
+    nothing beyond fp noise over a short session — append == refit to
+    tolerance is the invariant the knob rests on (drift_study.json measures
+    the 250-round horizon)."""
+    from ital_tpu.runner import run_experiment
+    from ital_tpu.utils.config import ExperimentConfig, GPConfig, UserConfig
+
+    base = dict(
+        dataset="toy",
+        dataset_kwargs=dict(n_per_class=40, n_classes=3, dim=2, seed=0),
+        method="uncertainty_sampling", batch_size=2, n_rounds=4,
+        repetitions=1, queries_per_class=1, max_classes=2, seed=0,
+        user=UserConfig(label_prob=0.9, mistake_prob=0.05),
+    )
+    gp = dict(length_scale=1.5, var=1.0, noise=0.1, cap=16)
+    plain = run_experiment(ExperimentConfig(**base, gp=GPConfig(**gp)))
+    refreshed = run_experiment(
+        ExperimentConfig(**base, gp=GPConfig(**gp, refit_every=1))
+    )
+    np.testing.assert_allclose(refreshed["ap"], plain["ap"], atol=2e-3)
+    # Sharded path takes the same knob.
+    sharded = run_experiment(
+        ExperimentConfig(**base, gp=GPConfig(**gp, refit_every=2),
+                         mesh_devices=4)
+    )
+    np.testing.assert_allclose(sharded["ap"], plain["ap"], atol=2e-3)
+
+
 def test_regression_experiment_reduces_rmse():
     """Active GP regression (reference C7): RMSE falls as labels accumulate,
     and MI-greedy (ital_regression) beats random selection."""
