@@ -322,6 +322,25 @@ def test_compact_pool_oversized_pool_matches_unrestricted():
     np.testing.assert_array_equal(full, pooled)
 
 
+@pytest.mark.slow
+def test_greedy_selection_matches_oracle_b7(rng):
+    """Greedy batch parity at b=7 — above the OLD m=6 guard, inside the
+    round-4 measured MAX_MI_BATCH=8 (docs/PROFILE.md section 7): the full
+    greedy pipeline (joint covariances, 3^7 feedback table, prefix-tree
+    orthants) still reproduces the scipy/f64 oracle's batch."""
+    state, ogp = _fitted_pair(
+        rng, n=14, labeled=((3, 1.0), (9, -1.0), (11, 1.0))
+    )
+    params = StrategyParams(label_prob=jnp.asarray(0.8),
+                            mistake_prob=jnp.asarray(0.1))
+    batch = np.asarray(
+        select_ital(state, 7, jax.random.PRNGKey(0), params, n_qmc=256)
+    )
+    candidates = [i for i in range(14) if i not in (3, 9, 11)]
+    ref_batch = oracle.ital_select(ogp, candidates, 7, 0.8, 0.1)
+    assert list(batch) == ref_batch
+
+
 def test_pool_and_subsample_mutually_exclusive():
     import jax
     import pytest
