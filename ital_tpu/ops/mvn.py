@@ -337,14 +337,19 @@ def orthant_probs_with_error(
     mechanism Genz's Fortran MVNDST uses for its returned error bound
     (SURVEY.md section 2.2 N3: the reference's MVNDST adapts its sample count
     to an error estimate; this is the rebuild's equivalent, measured rather
-    than adaptive): the lattice is evaluated under ``n_shifts`` fixed random
-    shifts, whose replicate estimates are i.i.d. unbiased; the returned
-    ``err`` is the standard error of their mean,
+    than adaptive): the lattice is evaluated under the table's
+    ``n_shifts - 1`` RANDOM shifts (shift 0 — the deterministic zero shift —
+    is excluded from the statistics: it is not a draw from the shift family,
+    and including it with a population std biased the estimate ~10% low);
+    their replicates are i.i.d. unbiased, and the returned ``err`` is the
+    sample standard error of their mean,
 
-        err_k = std_shifts(p_k) / sqrt(n_shifts).
+        err_k = std_{random shifts}(p_k; ddof=1) / sqrt(n_shifts - 1).
 
-    Returns ``(probs (2^m,), err (2^m,))`` with ``probs`` the across-shift
-    mean (a strictly better estimate than any single replicate).  Cost is
+    Returns ``(probs (2^m,), err (2^m,))`` with ``probs`` the mean over the
+    random shifts (a strictly better estimate than any single replicate).
+    With ``n_shifts = 1`` only the zero shift runs: ``probs`` equals the
+    production unshifted estimate exactly and ``err`` is 0.  Cost is
     ``n_shifts`` tree evaluations; production selection keeps the single
     unshifted lattice (err is a diagnostic/validation surface — see
     scripts/qmc_error_study.py and docs/PROFILE.md section 7).
@@ -356,8 +361,11 @@ def orthant_probs_with_error(
             mu, chol_cov, n_points=n_points, shift=sh, normalize=normalize
         )
     )(shifts)
-    err = jnp.std(probs, axis=0) / np.sqrt(n_shifts)
-    return jnp.mean(probs, axis=0), err
+    if n_shifts < 2:
+        return probs[0], jnp.zeros_like(probs[0])
+    rand = probs[1:]
+    err = jnp.std(rand, axis=0, ddof=1) / np.sqrt(n_shifts - 1)
+    return jnp.mean(rand, axis=0), err
 
 
 def orthant_probs_all_configs(

@@ -316,6 +316,10 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
     Python).  Uses the same per-session key derivation as the serial path, so
     per-session curves are identical to serial runs (tested).
     """
+    if cfg.gp.refit_every:
+        print("# GP.refit_every is a serial/per-round-sharded feature; the "
+              "fused/cohort device programs keep the pure incremental append "
+              "(drift measured benign - ARCHITECTURE.md) and ignore it")
     x = jnp.asarray(dataset.x)
     n = dataset.n
     state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap)
@@ -499,6 +503,10 @@ def run_experiment_fused(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Dict
     Same protocol and PRNG derivation as the serial path — identical AP curves
     (tested) — at one device dispatch + one host sync per session.
     """
+    if cfg.gp.refit_every:
+        print("# GP.refit_every is a serial/per-round-sharded feature; the "
+              "fused/cohort device programs keep the pure incremental append "
+              "(drift measured benign - ARCHITECTURE.md) and ignore it")
     x = jnp.asarray(dataset.x)
     state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap)
     if cfg.method in DENSITY_STRATEGIES:
@@ -670,6 +678,10 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
               + ". Unset fused_sessions/query_batch to enable the "
               f"distributed refit (parallel/bigcap.py), or raise "
               f"GP.chol2d_threshold to silence this.")
+    if cfg.gp.refit_every and (fused or qb > 1):
+        print("# GP.refit_every is a serial/per-round-sharded feature; the "
+              "fused/cohort device programs keep the pure incremental append "
+              "(drift measured benign - ARCHITECTURE.md) and ignore it")
     if qb > 1:
         # Cohort mode on the mesh: query_batch x fused_sessions x mesh_devices
         # composed — K sessions x ALL rounds per dispatch, collectives batched

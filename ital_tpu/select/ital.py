@@ -196,9 +196,11 @@ def mi_with_error(
 
     Cranley-Patterson multi-shift replication (see
     :func:`ital_tpu.ops.mvn.orthant_probs_with_error`) carried through the
-    FULL MI pipeline: each shift produces an independent unbiased estimate of
-    the orthant vector, hence an i.i.d. replicate MI_s of the mutual
-    information; returns ``(mean_s MI_s, std_s MI_s / sqrt(S))``.  This is the
+    FULL MI pipeline: each RANDOM shift (the table's shift 0 — the
+    deterministic production lattice — is excluded from the statistics)
+    produces an independent unbiased estimate of the orthant vector, hence an
+    i.i.d. replicate MI_s of the mutual information; returns
+    ``(mean_s MI_s, std_s(ddof=1) MI_s / sqrt(S - 1))``.  This is the
     in-pipeline answer to the reference MVNDST's returned error bound
     (VERDICT r3 weak 5): the error of the MI *estimator itself* is measurable
     without an external oracle — used by scripts/qmc_error_study.py to pin
@@ -217,7 +219,10 @@ def mi_with_error(
             pfr,
         )
     )(shifts)
-    return jnp.mean(mis), jnp.std(mis) / np.sqrt(n_shifts)
+    if n_shifts < 2:
+        return mis[0], jnp.zeros_like(mis[0])
+    rand = mis[1:]
+    return jnp.mean(rand), jnp.std(rand, ddof=1) / np.sqrt(n_shifts - 1)
 
 
 def score_candidates_mi(

@@ -61,6 +61,37 @@ class NotFound(KeyError):
     malformed bodies map to 400)."""
 
 
+def _stack_gpstates(sts):
+    """Batch K GPStates on a leading session axis (x/density stay unbatched —
+    corpus-shared).  Call INSIDE a jitted program only: on the host each leaf
+    stack is its own device dispatch, which measured slower than per-session
+    work behind the tunnel's per-dispatch cost.  Single source of truth for
+    which leaves batch — used by both cohort endpoints."""
+    import jax.numpy as jnp
+
+    from ital_tpu.models.gp import GPHyper, GPState
+
+    stack = lambda leaves: jnp.stack(leaves)
+    return GPState(
+        x=sts[0].x,  # shared corpus buffer, unbatched
+        idx=stack([t.idx for t in sts]),
+        y=stack([t.y for t in sts]),
+        valid=stack([t.valid for t in sts]),
+        count=stack([t.count for t in sts]),
+        l=stack([t.l for t in sts]),
+        beta=stack([t.beta for t in sts]),
+        v=stack([t.v for t in sts]),
+        mu=stack([t.mu for t in sts]),
+        sig2=stack([t.sig2 for t in sts]),
+        hyper=GPHyper(
+            length_scale=stack([t.hyper.length_scale for t in sts]),
+            var=stack([t.hyper.var for t in sts]),
+            noise=stack([t.hyper.noise for t in sts]),
+        ),
+        density=sts[0].density,  # shared, unbatched (may be None)
+    )
+
+
 def _density_compatible(sessions) -> bool:
     """True when the group shares ONE corpus density (all without, or all with
     the same construction length-scale — the vector's only input), so it can
@@ -139,12 +170,18 @@ class RetrievalService:
         if str(cfg["strategy"]) in DENSITY_STRATEGIES:
             from ital_tpu.models import gp as gp_mod
 
+            # Compute the O(N^2) density OUTSIDE the registry lock (first
+            # compile can take minutes via the remote compile service; the
+            # lock guards only dict reads/writes — the module's concurrency
+            # contract).  Racing creators may compute it twice; the first
+            # insert wins and both results are numerically identical.
             ls = float(cfg["length_scale"])
             with self._lock:
                 dens = self._density_by_ls.get(ls)
-                if dens is None:
-                    dens = gp_mod.corpus_density(sess.state)
-                    self._density_by_ls[ls] = dens
+            if dens is None:
+                dens = gp_mod.corpus_density(sess.state)
+                with self._lock:
+                    dens = self._density_by_ls.setdefault(ls, dens)
             sess.state = sess.state.replace(density=dens)
             # Cohort-compatibility key: jitted updates re-materialize every
             # state leaf, so object identity can't mark the shared vector —
@@ -248,27 +285,7 @@ class RetrievalService:
             )
 
             def run(sts, keys, params_b):
-                stack = lambda leaves: jnp.stack(leaves)
-                state_b = GPState(
-                    x=sts[0].x,  # shared corpus buffer, unbatched
-                    idx=stack([t.idx for t in sts]),
-                    y=stack([t.y for t in sts]),
-                    valid=stack([t.valid for t in sts]),
-                    count=stack([t.count for t in sts]),
-                    l=stack([t.l for t in sts]),
-                    beta=stack([t.beta for t in sts]),
-                    v=stack([t.v for t in sts]),
-                    mu=stack([t.mu for t in sts]),
-                    sig2=stack([t.sig2 for t in sts]),
-                    hyper=GPHyper(
-                        length_scale=stack(
-                            [t.hyper.length_scale for t in sts]),
-                        var=stack([t.hyper.var for t in sts]),
-                        noise=stack([t.hyper.noise for t in sts]),
-                    ),
-                    density=sts[0].density,  # shared, unbatched (may be None)
-                )
-                return select_v(state_b, keys, params_b)
+                return select_v(_stack_gpstates(sts), keys, params_b)
 
             fn = jax.jit(run)
             self._batched_select_cache[key] = fn
@@ -305,24 +322,40 @@ class RetrievalService:
         for _, _, lock in sorted(entries, key=lambda e: e[0]):
             lock.acquire()
         try:
-            sessions = [s for _, s, _ in entries]
-            widths = [len(labels) for labels in fb.values()]
+            out: Dict[str, dict] = {}
+            # Sessions with an EMPTY label dict are no-ops (the per-session
+            # path returns immediately); including them in the stacked update
+            # would append bpad pure-pad slots and burn their capacity.
+            active = [(sid, s, labels)
+                      for (sid, s, _), labels in zip(entries, fb.values())
+                      if labels]
+            for (sid, s, _), labels in zip(entries, fb.values()):
+                if not labels:
+                    out[sid] = {"labeled": int(np.asarray(s.state.count))}
+            sessions = [s for _, s, _ in active]
+            widths = [len(labels) for _, _, labels in active]
             bpad = -(-max(widths, default=0) // _UPDATE_BUCKET) * _UPDATE_BUCKET
-            caps_equal = len({s.state.cap for s in sessions}) == 1
-            fits = all(
-                int(np.asarray(s.state.count)) + bpad <= s.state.cap
-                for s in sessions
+            caps_equal = len({s.state.cap for s in sessions}) <= 1
+            # One stacked transfer for every count (K serial int(np.asarray)
+            # fetches each paid the ~30 ms tunnel RTT — measured to dominate
+            # this endpoint).
+            counts0 = (np.asarray(jnp.stack([s.state.count for s in sessions]))
+                       if sessions else np.zeros(0, np.int32))
+            fits = bool(sessions) and all(
+                int(c) + bpad <= s.state.cap
+                for c, s in zip(counts0, sessions)
             )
             dens_shared = _density_compatible(sessions)
             if (not caps_equal or not fits or not dens_shared
                     or len(sessions) <= 1 or bpad == 0):
-                return {sid: self._apply_feedback_locked(s, labels)
-                        for (sid, s, _), labels in zip(entries, fb.values())}
+                for sid, s, labels in active:
+                    out[sid] = self._apply_feedback_locked(s, labels)
+                return out
 
             k = len(sessions)
             idx = np.zeros((k, bpad), np.int32)
             y = np.zeros((k, bpad), np.float32)
-            for j, labels in enumerate(fb.values()):
+            for j, (_, _, labels) in enumerate(active):
                 items = [(int(i), 0 if v in (0, None) else int(v))
                          for i, v in labels.items()]
                 idx[j, : len(items)] = [i for i, _ in items]
@@ -338,10 +371,10 @@ class RetrievalService:
                 sts, jnp.asarray(idx), jnp.asarray(y), jnp.asarray(valid)
             )
             counts = np.asarray(counts)
-            for j, (_, s, _) in enumerate(entries):
+            for j, (sid, s, _) in enumerate(active):
                 s.state = new_states[j]
-            return {sid: {"labeled": int(counts[j])}
-                    for j, (sid, _, _) in enumerate(entries)}
+                out[sid] = {"labeled": int(counts[j])}
+            return out
         finally:
             for _, _, lock in entries:
                 lock.release()
@@ -376,27 +409,7 @@ class RetrievalService:
             )
 
             def run(sts, idx, y, valid):
-                stack = lambda leaves: jnp.stack(leaves)
-                state_b = GPState(
-                    x=sts[0].x,
-                    idx=stack([t.idx for t in sts]),
-                    y=stack([t.y for t in sts]),
-                    valid=stack([t.valid for t in sts]),
-                    count=stack([t.count for t in sts]),
-                    l=stack([t.l for t in sts]),
-                    beta=stack([t.beta for t in sts]),
-                    v=stack([t.v for t in sts]),
-                    mu=stack([t.mu for t in sts]),
-                    sig2=stack([t.sig2 for t in sts]),
-                    hyper=GPHyper(
-                        length_scale=stack(
-                            [t.hyper.length_scale for t in sts]),
-                        var=stack([t.hyper.var for t in sts]),
-                        noise=stack([t.hyper.noise for t in sts]),
-                    ),
-                    density=sts[0].density,  # shared, unbatched (may be None)
-                )
-                nb = update_v(state_b, idx, y, valid)
+                nb = update_v(_stack_gpstates(sts), idx, y, valid)
                 outs = tuple(
                     GPState(
                         x=sts[0].x,
@@ -483,6 +496,13 @@ class RetrievalService:
             sess.state = state
             q = int(extra["query"]) if "query" in extra else -1
             sess.query = None if q < 0 else q
+            if state.density is not None:
+                # The restored density may have been built at a DIFFERENT
+                # length-scale than this server's default (create_session
+                # stamped _density_ls before the snapshot overwrote the
+                # state).  A unique sentinel keeps restored density sessions
+                # out of cohort batching — correctness over throughput.
+                sess._density_ls = ("restored", sid)
         return sid
 
 

@@ -61,16 +61,7 @@ def _setup_state():
     return ds, state, cls
 
 
-def _pipeline_ms(fn, args_fn, reps, trials=3):
-    best = np.inf
-    for trial in range(trials):
-        t0 = time.perf_counter()
-        out = None
-        for r in range(reps):
-            out = fn(*args_fn(trial * 1000 + r))
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
-        best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+from scripts.timing_protocol import pipeline_ms as _pipeline_ms
 
 
 def main() -> int:

@@ -41,18 +41,7 @@ LS, VAR, NOISE = 50.0, 1.0, 0.1
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _pipeline_ms(fn, args_fn, reps, trials=3):
-    import jax
-
-    best = np.inf
-    for trial in range(trials):
-        t0 = time.perf_counter()
-        out = None
-        for r in range(reps):
-            out = fn(*args_fn(trial * 1000 + r))
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
-        best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+from scripts.timing_protocol import pipeline_ms as _pipeline_ms
 
 
 def main() -> int:
@@ -129,23 +118,37 @@ def main() -> int:
         ap = average_precision(st.mu, relevant, exclude)
         return st, ap
 
-    per_round = []
-    aps = []
-    st = state
-    for rnd in range(8):
-        t0 = time.perf_counter()
-        st, ap = round_step(st, jax.random.fold_in(jax.random.PRNGKey(2), rnd))
-        aps.append(float(np.asarray(ap)))  # forces the round's fetch
-        per_round.append(round(1e3 * (time.perf_counter() - t0), 1))
+    # First round alone (compile/cache-load), fetched; then the steady rounds
+    # dispatch back-to-back with ONE final fetch so the ~30 ms tunnel RTT
+    # amortizes (CLAUDE.md timing protocol — per-round host syncs inflated
+    # the previous record's steady state ~2x).  The per-round aps are device
+    # arrays collected during the timed window and fetched afterwards.
+    key2 = jax.random.PRNGKey(2)
+    t0 = time.perf_counter()
+    st, ap0 = round_step(state, jax.random.fold_in(key2, 0))
+    first_ms = 1e3 * (time.perf_counter() - t0)
+    ap0 = float(np.asarray(ap0))
+    steady_rounds = 7
+    aps_dev = []
+    t0 = time.perf_counter()
+    for rnd in range(1, 1 + steady_rounds):
+        st, ap = round_step(st, jax.random.fold_in(key2, rnd))
+        aps_dev.append(ap)
+    np.asarray(aps_dev[-1])  # the one sync inside the timed window
+    steady_ms = 1e3 * (time.perf_counter() - t0) / steady_rounds
     report["full_round_ms"] = {
-        "per_round": per_round,
-        "first": per_round[0],
-        "steady_median": float(np.median(per_round[1:])),
+        "first": round(first_ms, 1),
+        "steady_amortized": round(steady_ms, 2),
+        "steady_rounds": steady_rounds,
+        "protocol": "async dispatch, one fetch (CLAUDE.md)",
     }
-    report["ap_curve"] = [round(a, 4) for a in aps]
+    report["ap_curve"] = [round(ap0, 4)] + [
+        round(float(np.asarray(a)), 4) for a in aps_dev
+    ]
     report["device_mem_mb_peak"] = round(device_mem_mb(), 1)
-    print(f"   full rounds: first {per_round[0]} ms, steady "
-          f"{report['full_round_ms']['steady_median']} ms; device mem "
+    print(f"   full rounds: first {report['full_round_ms']['first']} ms, "
+          f"steady {report['full_round_ms']['steady_amortized']} ms "
+          f"(amortized over {steady_rounds}); device mem "
           f"{report['device_mem_mb_peak']} MB", flush=True)
 
     out = os.path.join(REPO, "results", "scale1m.json")

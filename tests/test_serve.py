@@ -284,6 +284,70 @@ def test_batch_select_density_sessions_batch():
     assert calls == [("sud", 3)]
 
 
+def test_batch_feedback_empty_labels_is_noop(server):
+    """A session submitting an EMPTY label dict inside a cohort is a no-op:
+    it must not burn padded capacity slots in the stacked update (code-review
+    round 4), and the other sessions still take the batched path."""
+    def make(q):
+        _, r = _req(f"{server}/sessions", "POST", {})
+        sid = r["session_id"]
+        _req(f"{server}/sessions/{sid}/query", "POST", {"index": q})
+        return sid
+
+    s_empty, s_a, s_b = make(3), make(47), make(85)
+    code, r = _req(f"{server}/batch_feedback", "POST",
+                   {"feedback": {s_empty: {},
+                                 s_a: {"50": 1, "60": -1},
+                                 s_b: {"90": 1}}})
+    assert code == 200
+    # The empty session reports its unchanged count (query label only).
+    assert r["sessions"][s_empty]["labeled"] == 1
+    # "labeled" is state.count, which INCLUDES inert bucket-pad slots
+    # (_UPDATE_BUCKET=4): query + padded block = 1 + 4 — identical to what
+    # the per-session path reports for the same feedback.
+    assert r["sessions"][s_a]["labeled"] == 5
+    assert r["sessions"][s_b]["labeled"] == 5
+    # Repeating an all-empty cohort never errors or consumes capacity.
+    for _ in range(3):
+        code, r = _req(f"{server}/batch_feedback", "POST",
+                       {"feedback": {s_empty: {}}})
+        assert code == 200 and r["sessions"][s_empty]["labeled"] == 1
+
+
+def test_restored_density_session_excluded_from_cohort():
+    """A restored density session's vector may have been built at a different
+    length-scale than this server's default; restore marks it with a unique
+    sentinel so cohort batching (which assumes ONE shared vector) skips it
+    (code-review round 4) — results must still match individual selection."""
+    rng = np.random.default_rng(1)
+    centers = rng.normal(size=(3, 6)) * 4
+    x = np.concatenate([c + rng.normal(size=(40, 6)) for c in centers])
+    svc = RetrievalService(
+        x.astype(np.float32), length_scale=2.5, noise=0.1, cap=32,
+        strategy="sud", label_prob=1.0, mistake_prob=0.0,
+    )
+    s1 = svc.create_session()
+    svc.set_query(s1, 3)
+    svc.feedback(s1, {"14": 1, "63": -1})
+    blob = svc.snapshot(s1)
+    s_restored = svc.restore(blob)
+    s2 = svc.create_session()
+    svc.set_query(s2, 47)
+    svc.feedback(s2, {"58": 1, "107": -1})
+
+    singles = {sid: svc.next_batch(sid, 3) for sid in (s_restored, s2)}
+    calls = []
+    orig = svc._batched_select
+
+    def spy(strategy, k):
+        calls.append((strategy, k))
+        return orig(strategy, k)
+
+    svc._batched_select = spy
+    assert svc.next_batch_many([s_restored, s2], 3) == singles
+    assert calls == []  # fell back per-session: no batched program was built
+
+
 def test_batch_select_duplicate_ids_no_deadlock(server):
     """Duplicate session ids in the group must not re-acquire the same
     per-session lock (code-review round 3: reproduced permanent deadlock)."""
