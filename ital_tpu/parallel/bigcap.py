@@ -131,6 +131,8 @@ def make_bigcap_round(
     n_qmc: int = 128,
     pool_size: int = 0,
     subsample_size: int = 0,
+    refine_top: int = 0,
+    refine_n_qmc: int = 512,
     recall_ks: tuple = (),
 ):
     """Per-round step for large-cap sharded sessions.
@@ -148,6 +150,7 @@ def make_bigcap_round(
     select_body = _make_round_body(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
         subsample_size=subsample_size, defer_update=True,
+        refine_top=refine_top, refine_n_qmc=refine_n_qmc,
     )
     fit = make_bigcap_fit(mesh)
 

@@ -201,6 +201,60 @@ def _sharded_ital_scores(state, batch, t, params, n_qmc):
     )
 
 
+def _sharded_refined_pick(
+    state: GPState,
+    batch: jax.Array,
+    t: int,
+    params: StrategyParams,
+    scores_masked_local: jax.Array,
+    forbid_local: jax.Array,
+    refine_top: int,
+    refine_n_qmc: int,
+) -> jax.Array:
+    """Two-stage greedy pick on the mesh — sharded mirror of
+    :func:`ital_tpu.select.ital.refined_pick`.
+
+    The global top-``refine_top`` candidates by base-scan score are assembled
+    exactly as the single-device ``top_k`` would order them
+    (:func:`_sharded_pool_indices` with the scores as ranking), their moments
+    gathered with the usual collectives, and the refined ``refine_n_qmc``
+    re-score runs REPLICATED on every chip (O(refine_top x 2^m x n_qmc) —
+    negligible against the O(N/p) base scan, and replication avoids a second
+    collective argmax: every chip computes the same winner).
+    """
+    from ital_tpu.ops.kernels import rbf_kernel
+
+    h = state.hyper
+    dt = state.mu.dtype
+    top_gidx, top_forbid = _sharded_pool_indices(
+        state, forbid_local, refine_top, refine_top, scores_masked_local
+    )
+    xc = gather_rows(state.x, top_gidx)  # (T, D) replicated
+    vc = gather_cols(state.v, top_gidx)  # (cap, T) replicated
+    mu_c = gather_scalars(state.mu, top_gidx)
+    sig2_c = gather_scalars(state.sig2, top_gidx) + params.jitter
+    bsel = batch[:t]
+    if t > 0:
+        xb = gather_rows(state.x, bsel)
+        vb = gather_cols(state.v, bsel)
+        mu_b = gather_scalars(state.mu, bsel)
+        k_bb = rbf_kernel(xb, xb, h.length_scale, h.var)
+        cov_bb = k_bb - vb.T @ vb + params.jitter * jnp.eye(t, dtype=dt)
+        k_cb = rbf_kernel(xc, xb, h.length_scale, h.var)
+        cross = k_cb - jnp.dot(
+            vc.T, vb, preferred_element_type=jnp.float32
+        ).astype(dt)
+    else:
+        mu_b = jnp.zeros((0,), dt)
+        cov_bb = jnp.zeros((0, 0), dt)
+        cross = jnp.zeros((refine_top, 0), dt)
+    refined = mi_scores_from_moments(
+        mu_c, sig2_c, cross, mu_b, cov_bb, params, t=t, n_qmc=refine_n_qmc
+    )
+    refined = jnp.where(top_forbid, -jnp.inf, refined)
+    return top_gidx[jnp.argmax(refined)].astype(jnp.int32)
+
+
 def _ring_colabs(state: GPState, v: jax.Array, pad_local: jax.Array) -> jax.Array:
     """``sum_x |k_post(x, c)|`` for this shard's candidates, via a ring pass.
 
@@ -528,6 +582,8 @@ def _sharded_ital_pool_greedy(
     batch_size: int,
     n_qmc: int,
     n_dev: int,
+    refine_top: int = 0,
+    refine_n_qmc: int = 512,
 ) -> jax.Array:
     """Compact-pool greedy ITAL on the mesh — cost scales with the pool.
 
@@ -583,14 +639,37 @@ def _sharded_ital_pool_greedy(
         scores = jnp.where(
             jax.lax.dynamic_slice(forbid, (start,), (pp,)), neg, scores
         )
-        # Collective argmax in POOL-POSITION space (lowest position on ties,
-        # matching the single-device argmax over the pool vector).
-        li = jnp.argmax(scores)
-        lv = scores[li]
-        gpos = (li + start).astype(jnp.int32)
-        vs = jax.lax.all_gather(lv, CORPUS_AXIS)
-        ps = jax.lax.all_gather(gpos, CORPUS_AXIS)
-        win = ps[jnp.argmax(vs)]
+        if refine_top:
+            # Two-stage pick (mirror of the single-device refined_pick): the
+            # pool's moments are already replicated, so the full score vector
+            # is one all_gather away and the refined re-score runs replicated
+            # on every chip — same top_k tie order as the single-device
+            # compact path (one contiguous pool-position vector).
+            scores_full = jax.lax.all_gather(scores, CORPUS_AXIS).reshape(-1)
+            k_top = min(refine_top, pool_padded)
+            vals, top = jax.lax.top_k(scores_full, k_top)
+            if t > 0:
+                k_tb = rbf_kernel(x_pool[top], xb, h.length_scale, h.var)
+                cross_top = k_tb - jnp.dot(
+                    v_pool[:, top].T, vb, preferred_element_type=jnp.float32
+                ).astype(dt)
+            else:
+                cross_top = jnp.zeros((k_top, 0), dt)
+            refined = mi_scores_from_moments(
+                mu_pool[top], sig2_pool[top], cross_top, mu_b, cov_bb,
+                params, t=t, n_qmc=refine_n_qmc,
+            )
+            refined = jnp.where(jnp.isfinite(vals), refined, neg)
+            win = top[jnp.argmax(refined)].astype(jnp.int32)
+        else:
+            # Collective argmax in POOL-POSITION space (lowest position on
+            # ties, matching the single-device argmax over the pool vector).
+            li = jnp.argmax(scores)
+            lv = scores[li]
+            gpos = (li + start).astype(jnp.int32)
+            vs = jax.lax.all_gather(lv, CORPUS_AXIS)
+            ps = jax.lax.all_gather(gpos, CORPUS_AXIS)
+            win = ps[jnp.argmax(vs)]
         batch = batch.at[t].set(pool_gidx[win])
         forbid = forbid.at[win].set(True)
     return batch
@@ -681,7 +760,8 @@ def _check_mi_batch(strategy: str, batch_size: int) -> None:
 
 
 def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
-                     *, subsample_size=0, defer_update=False):
+                     *, subsample_size=0, defer_update=False,
+                     refine_top=0, refine_n_qmc=512):
     """The shard-local feedback-round body shared by the per-round and
     fused-session entry points (call only inside ``shard_map``).
 
@@ -723,7 +803,8 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
                 state, forbid, psize, pool_padded, ranking_local
             )
             batch = _sharded_ital_pool_greedy(
-                state, params, pool_gidx, pool_forbid, batch_size, n_qmc, n_dev
+                state, params, pool_gidx, pool_forbid, batch_size, n_qmc,
+                n_dev, refine_top=refine_top, refine_n_qmc=refine_n_qmc,
             )
             return _finish_round(state, k_user, batch, relevant, ap_exclude,
                                  params)
@@ -767,7 +848,14 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
             else:
                 scores = _local_score_fn(strategy, mesh.size)(state, k_sel, params)
             scores = jnp.where(forbid, neg, scores)
-            nxt = global_argmax(scores)
+            if strategy == "ital" and refine_top:
+                shard_n = state.mu.shape[0]
+                nxt = _sharded_refined_pick(
+                    state, batch, t, params, scores, forbid,
+                    min(refine_top, shard_n * n_dev), refine_n_qmc,
+                )
+            else:
+                nxt = global_argmax(scores)
             batch = batch.at[t].set(nxt)
             # Mark the winner on its owner shard.
             shard_n = state.x.shape[0]
@@ -829,6 +917,8 @@ def make_sharded_round(
     n_qmc: int = 128,
     pool_size: int = 0,
     subsample_size: int = 0,
+    refine_top: int = 0,
+    refine_n_qmc: int = 512,
     recall_ks: tuple = (),
 ):
     """Build the jitted sharded feedback-round step.
@@ -844,7 +934,9 @@ def make_sharded_round(
     """
     _check_mi_batch(strategy, batch_size)
     _round = _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size,
-                              recall_ks, subsample_size=subsample_size)
+                              recall_ks, subsample_size=subsample_size,
+                              refine_top=refine_top,
+                              refine_n_qmc=refine_n_qmc)
 
     def wrapped(state, key, relevant, sel_forbid, ap_exclude, params):
         specs = state_pspecs(state)
@@ -869,6 +961,8 @@ def make_sharded_session(
     n_qmc: int = 128,
     pool_size: int = 0,
     subsample_size: int = 0,
+    refine_top: int = 0,
+    refine_n_qmc: int = 512,
     learn=None,
 ):
     """Whole SESSION fused on the mesh: all ``n_rounds`` in one device program.
@@ -893,6 +987,7 @@ def make_sharded_session(
     inner_round = _make_round_body(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=(),
         subsample_size=subsample_size,
+        refine_top=refine_top, refine_n_qmc=refine_n_qmc,
     )
     _session = _fused_session_body(inner_round, n_rounds, learn=learn)
 
@@ -1011,6 +1106,8 @@ def make_sharded_cohort(
     n_qmc: int = 128,
     pool_size: int = 0,
     subsample_size: int = 0,
+    refine_top: int = 0,
+    refine_n_qmc: int = 512,
     learn=None,
 ):
     """COHORT of fused sessions on the mesh: ``query_batch`` retrieval sessions,
@@ -1034,6 +1131,7 @@ def make_sharded_cohort(
     inner_round = _make_round_body(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=(),
         subsample_size=subsample_size,
+        refine_top=refine_top, refine_n_qmc=refine_n_qmc,
     )
     axes = _cohort_state_axes(learn=bool(learn and learn.every))
     _cohort_local = jax.vmap(

@@ -701,6 +701,8 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
             subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
+            refine_top=int(cfg.method_kwargs.get("refine_top", 0)),
+            refine_n_qmc=int(cfg.method_kwargs.get("refine_n_qmc", 512)),
             learn=learn,
         )
         set_query_v = jax.jit(
@@ -787,6 +789,8 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
             subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
+            refine_top=int(cfg.method_kwargs.get("refine_top", 0)),
+            refine_n_qmc=int(cfg.method_kwargs.get("refine_n_qmc", 512)),
             learn=learn,
         )
     elif bigcap:
@@ -803,6 +807,8 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
             subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
+            refine_top=int(cfg.method_kwargs.get("refine_top", 0)),
+            refine_n_qmc=int(cfg.method_kwargs.get("refine_n_qmc", 512)),
             recall_ks=RECALL_KS,
         )
         bigcap_refit = make_bigcap_fit(mesh)
@@ -814,6 +820,8 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
             subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
+            refine_top=int(cfg.method_kwargs.get("refine_top", 0)),
+            refine_n_qmc=int(cfg.method_kwargs.get("refine_n_qmc", 512)),
             recall_ks=RECALL_KS,
         )
 

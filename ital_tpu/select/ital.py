@@ -225,6 +225,61 @@ def mi_with_error(
     return jnp.mean(rand), jnp.std(rand, ddof=1) / np.sqrt(n_shifts - 1)
 
 
+def refined_pick(
+    scores_masked: jax.Array,
+    mu_cand: jax.Array,
+    sig2_cand: jax.Array,
+    cross: jax.Array,
+    mu_b: jax.Array,
+    cov_bb: jax.Array,
+    params: StrategyParams,
+    *,
+    t: int,
+    refine_top: int,
+    refine_n_qmc: int,
+) -> jax.Array:
+    """Two-stage greedy pick: re-score the top candidates at higher accuracy.
+
+    The reference's MVNDST *adapts* its QMC sample count per call to a
+    returned error bound (SURVEY.md section 2.2 N3); data-dependent sample
+    counts are shape-dynamic and hostile to XLA, so the TPU-native equivalent
+    is coarse-to-fine with STATIC shapes: the base scan scores every candidate
+    cheaply (possibly at a reduced ``n_qmc``), then only the
+    ``refine_top`` highest-scoring candidates — the only ones that can win
+    the greedy argmax — are re-scored at ``refine_n_qmc`` points, and the
+    argmax is taken over the refined estimates.  Accuracy is spent exactly
+    where the selection decision is made, at O(refine_top) extra cost
+    (negligible against the O(N) base scan).
+
+    Args:
+      scores_masked: (Nc,) base-scan MI scores with ineligible candidates
+        already at -inf (labeled / previously picked / pad slots).
+      mu_cand/sig2_cand/cross: the SAME per-candidate moment arrays the base
+        scan consumed (re-used, not recomputed; rows are gathered at the
+        top-k indices).
+      mu_b/cov_bb: the shared partial-batch block, as in
+        :func:`mi_scores_from_moments`.
+
+    Returns the winning candidate's LOCAL index into ``scores_masked`` (the
+    caller maps pool-local to corpus indices where applicable).
+    """
+    vals, top = jax.lax.top_k(scores_masked, refine_top)
+    refined = mi_scores_from_moments(
+        mu_cand[top],
+        sig2_cand[top],
+        cross[top],
+        mu_b,
+        cov_bb,
+        params,
+        t=t,
+        n_qmc=refine_n_qmc,
+    )
+    # Slots whose base score was -inf are ineligible (only reachable when
+    # refine_top exceeds the number of selectable candidates).
+    refined = jnp.where(jnp.isfinite(vals), refined, -jnp.inf)
+    return top[jnp.argmax(refined)].astype(jnp.int32)
+
+
 def score_candidates_mi(
     state: GPState,
     batch: jax.Array,
@@ -285,6 +340,8 @@ def _select_ital_pool(
     *,
     n_qmc: int,
     block: int = 1024,
+    refine_top: int = 0,
+    refine_n_qmc: int = 512,
 ) -> jax.Array:
     """Greedy ITAL over a COMPACT candidate pool — cost scales with the pool.
 
@@ -326,7 +383,14 @@ def _select_ital_pool(
             t=t, n_qmc=n_qmc, block=block,
         )
         scores = jnp.where(forbid, neg, scores)
-        p = jnp.argmax(scores)
+        if refine_top:
+            p = refined_pick(
+                scores, mu_pool, sig2_pool, cross, mu_b, cov_bb, params,
+                t=t, refine_top=min(refine_top, pool_idx.shape[0]),
+                refine_n_qmc=refine_n_qmc,
+            )
+        else:
+            p = jnp.argmax(scores)
         batch = batch.at[t].set(pool_idx[p])
         forbid = forbid.at[p].set(True)
     return batch
@@ -342,6 +406,8 @@ def select_ital(
     n_qmc: int = 128,
     pool_size: int = 0,
     subsample_size: int = 0,
+    refine_top: int = 0,
+    refine_n_qmc: int = 512,
 ) -> jax.Array:
     """Greedy ITAL batch construction (reference ``ITAL.fetch_unlabelled``).
 
@@ -360,6 +426,14 @@ def select_ital(
     corpus — the actual cost reduction the reference's restriction exists for
     (it loops over fewer candidates; the round-3 implementation here scored
     all N and masked, reproducing the semantics at zero saving).
+
+    ``refine_top > 0`` enables two-stage coarse-to-fine scoring (see
+    :func:`refined_pick`): each greedy step re-scores the ``refine_top``
+    best base-scan candidates at ``refine_n_qmc`` QMC points before the
+    argmax — the static-shape equivalent of the reference MVNDST's adaptive
+    sample count.  Pairing a reduced base ``n_qmc`` with refinement cuts the
+    O(N)-dominant transcendental cost while the decision itself is made at
+    full accuracy (measured: docs/PROFILE.md section 8).
     """
     if batch_size > MAX_MI_BATCH:
         raise ValueError(
@@ -388,13 +462,40 @@ def select_ital(
             state, state.mu, min(pool_size, n)
         )
     else:
-        return greedy_argmax_batch(
-            lambda batch, t: score_candidates_mi(
-                state, batch, t, params, n_qmc=n_qmc
-            ),
-            state,
-            batch_size,
-        )
+        if not refine_top:
+            return greedy_argmax_batch(
+                lambda batch, t: score_candidates_mi(
+                    state, batch, t, params, n_qmc=n_qmc
+                ),
+                state,
+                batch_size,
+            )
+        # Full-corpus scan with two-stage refinement: same unrolled greedy
+        # loop as greedy_argmax_batch, but the per-step moments are kept so
+        # refined_pick can re-score the top candidates without recomputing
+        # the corpus-wide cross-covariance.
+        from ital_tpu.select.base import labeled_mask
+
+        excluded = labeled_mask(state)
+        batch = jnp.zeros((batch_size,), jnp.int32)
+        neg = jnp.asarray(-jnp.inf, state.mu.dtype)
+        for t in range(batch_size):
+            mu_b, cov_bb, cross, sig2 = _joint_posterior(
+                state, batch, t, params.jitter
+            )
+            scores = mi_scores_from_moments(
+                state.mu, sig2, cross, mu_b, cov_bb, params, t=t, n_qmc=n_qmc
+            )
+            scores = jnp.where(excluded, neg, scores)
+            p = refined_pick(
+                scores, state.mu, sig2, cross, mu_b, cov_bb, params,
+                t=t, refine_top=min(refine_top, n),
+                refine_n_qmc=refine_n_qmc,
+            )
+            batch = batch.at[t].set(p)
+            excluded = excluded.at[p].set(True)
+        return batch
     return _select_ital_pool(
-        state, batch_size, params, pool_idx, pool_forbid, n_qmc=n_qmc
+        state, batch_size, params, pool_idx, pool_forbid, n_qmc=n_qmc,
+        refine_top=refine_top, refine_n_qmc=refine_n_qmc,
     )

@@ -341,6 +341,77 @@ def test_greedy_selection_matches_oracle_b7(rng):
     assert list(batch) == ref_batch
 
 
+def test_refined_covering_all_equals_single_stage_high_nqmc():
+    """Two-stage refinement that covers EVERY candidate (refine_top >= N) at
+    ``refine_n_qmc = q`` selects the same batch as a plain single-stage scan
+    at ``n_qmc = q``: with full coverage the coarse base scan only orders the
+    candidates and every argmax is taken over the refined estimates — the
+    coarse stage cannot change the decision."""
+    import jax
+
+    from ital_tpu.select.base import StrategyParams
+    from ital_tpu.select.ital import select_ital
+
+    ds, state = _warmed_state(n_per_class=20)
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.9), mistake_prob=jnp.asarray(0.05)
+    )
+    key = jax.random.PRNGKey(0)
+    single = np.asarray(select_ital(state, 3, key, params, n_qmc=128))
+    two_stage = np.asarray(
+        select_ital(state, 3, key, params, n_qmc=16,
+                    refine_top=ds.n, refine_n_qmc=128)
+    )
+    np.testing.assert_array_equal(two_stage, single)
+
+
+def test_refined_pool_covering_pool_equals_unrefined_pool():
+    """Inside the compact-pool path, refinement that covers the whole pool at
+    the SAME n_qmc is the identity (same estimator, argmax over a gather)."""
+    import jax
+
+    from ital_tpu.select.base import StrategyParams
+    from ital_tpu.select.ital import select_ital
+
+    ds, state = _warmed_state()
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.9), mistake_prob=jnp.asarray(0.05)
+    )
+    key = jax.random.PRNGKey(1)
+    plain = np.asarray(
+        select_ital(state, 3, key, params, n_qmc=32, pool_size=25)
+    )
+    refined = np.asarray(
+        select_ital(state, 3, key, params, n_qmc=32, pool_size=25,
+                    refine_top=25, refine_n_qmc=32)
+    )
+    np.testing.assert_array_equal(refined, plain)
+
+
+def test_refined_coarse_base_recovers_high_nqmc_batch():
+    """The production use: a COARSE base scan (n_qmc=8) plus top-10
+    refinement at 256 points reproduces the single-stage n_qmc=256 batch —
+    the base scan only needs to land the true winner inside the top-10, and
+    the decision is then made at full accuracy (the static-shape analog of
+    MVNDST's adaptive sample count, SURVEY.md section 2.2 N3)."""
+    import jax
+
+    from ital_tpu.select.base import StrategyParams
+    from ital_tpu.select.ital import select_ital
+
+    ds, state = _warmed_state(n_per_class=20)
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.8), mistake_prob=jnp.asarray(0.1)
+    )
+    key = jax.random.PRNGKey(2)
+    accurate = np.asarray(select_ital(state, 3, key, params, n_qmc=256))
+    coarse_refined = np.asarray(
+        select_ital(state, 3, key, params, n_qmc=8,
+                    refine_top=10, refine_n_qmc=256)
+    )
+    np.testing.assert_array_equal(coarse_refined, accurate)
+
+
 def test_pool_and_subsample_mutually_exclusive():
     import jax
     import pytest

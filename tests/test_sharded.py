@@ -330,6 +330,58 @@ def test_sharded_pool_size_matches_single_device():
     np.testing.assert_array_equal(np.asarray(batch_m), np.asarray(batch_ref))
 
 
+def test_sharded_refined_full_scan_matches_single_device():
+    """Two-stage refinement (refine_top / refine_n_qmc) on the sharded FULL
+    scan picks the same batch as the single-device refined path: the global
+    top-T assembly reproduces top_k tie order and the replicated re-score
+    uses the identical estimator.  A coarse base (n_qmc=16) makes the
+    refined pick actually decide."""
+    ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = (
+        _divisible_setup()
+    )
+    state_s = _warmed_dense(state0, ds, query)
+    key = jax.random.PRNGKey(13)
+    k_sel, _ = jax.random.split(key)
+    batch_ref = select_ital(
+        state_s, 2, k_sel, params, n_qmc=16, refine_top=12, refine_n_qmc=64
+    )
+
+    round_fn = make_sharded_round(
+        mesh, strategy="ital", batch_size=2, n_qmc=16,
+        refine_top=12, refine_n_qmc=64,
+    )
+    _, batch_m, _, _ = round_fn(
+        shard_state(state_s, mesh), key, relevant, sel_forbid, ap_exclude,
+        params,
+    )
+    np.testing.assert_array_equal(np.asarray(batch_m), np.asarray(batch_ref))
+
+
+def test_sharded_refined_pool_matches_single_device():
+    """Refinement composed with the compact-pool restriction on the mesh ==
+    the single-device refined pool path."""
+    ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = (
+        _divisible_setup()
+    )
+    state_s = _warmed_dense(state0, ds, query)
+    key = jax.random.PRNGKey(17)
+    k_sel, _ = jax.random.split(key)
+    batch_ref = select_ital(
+        state_s, 2, k_sel, params, n_qmc=16, pool_size=24,
+        refine_top=8, refine_n_qmc=64,
+    )
+
+    round_fn = make_sharded_round(
+        mesh, strategy="ital", batch_size=2, n_qmc=16, pool_size=24,
+        refine_top=8, refine_n_qmc=64,
+    )
+    _, batch_m, _, _ = round_fn(
+        shard_state(state_s, mesh), key, relevant, sel_forbid, ap_exclude,
+        params,
+    )
+    np.testing.assert_array_equal(np.asarray(batch_m), np.asarray(batch_ref))
+
+
 def test_sharded_recall_logging():
     """The sharded round returns recall@k alongside AP (runner feature parity)."""
     ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = _setup()
