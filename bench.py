@@ -12,6 +12,15 @@ reference's ``parallelized`` mode.  The CPU cost is measured on a candidate
 subsample and scaled linearly (the loop is embarrassingly parallel and
 per-candidate-dominated); the TPU number is measured in full.
 
+Production selection config (round 4): two-stage scoring — base scan at
+n_qmc=32 over every candidate, then the top-64 re-scored at n_qmc=512 before
+each greedy argmax (`refine_top`; the static-shape equivalent of the
+reference MVNDST's adaptive sample count).  MAP equality with the old
+single-stage n_qmc=128 setting is MEASURED, not assumed: 8-seed MIRFLICKR
+scenario at standard AND heavy user noise, paired deltas ~0
+(results/refine_study.json, docs/PROFILE.md section 8); the CPU denominator
+is unchanged (full-fidelity scipy-MVNDST oracle round).
+
 Prints ONE JSON line:
   {"metric": "mi_selection_ms_per_round_mirflickr25k_b4",
    "value": <tpu ms/round>, "unit": "ms", "vs_baseline": <cpu_ms / tpu_ms>}
@@ -26,7 +35,9 @@ import time
 import numpy as np
 
 BATCH = 4
-N_QMC = 128
+N_QMC = 32
+REFINE_TOP = 64
+REFINE_N_QMC = 512
 CAP = 64
 CPU_SAMPLE = 96  # candidates per greedy step timed on CPU, then scaled
 LS, VAR, NOISE = 50.0, 1.0, 0.1
@@ -74,7 +85,9 @@ def time_tpu(ds, idx, ys) -> float:
         label_prob=jnp.asarray(LABEL_PROB), mistake_prob=jnp.asarray(MISTAKE_PROB)
     )
     select = jax.jit(
-        lambda s, key: select_ital(s, BATCH, key, params, n_qmc=N_QMC)
+        lambda s, key: select_ital(s, BATCH, key, params, n_qmc=N_QMC,
+                                   refine_top=REFINE_TOP,
+                                   refine_n_qmc=REFINE_N_QMC)
     )
     key = jax.random.PRNGKey(0)
     np.asarray(select(state, key))  # compile + real sync (host fetch)
@@ -192,7 +205,8 @@ def main() -> int:
         label_prob=jnp.asarray(LABEL_PROB), mistake_prob=jnp.asarray(MISTAKE_PROB)
     )
     batch = np.asarray(select_ital(state, BATCH, jax.random.PRNGKey(0), params,
-                                   n_qmc=N_QMC))
+                                   n_qmc=N_QMC, refine_top=REFINE_TOP,
+                                   refine_n_qmc=REFINE_N_QMC))
 
     cpu_ms = recorded_cpu_ms()
     if cpu_ms is None:
