@@ -139,11 +139,19 @@ def test_golden_toy_curve():
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "label_prob,mistake_prob",
-    [(0.9, 0.05), (0.6, 0.15)],
-    ids=["light-noise", "heavy-noise"],
+    "label_prob,mistake_prob,select_kwargs",
+    [
+        (0.9, 0.05, dict(n_qmc=512)),
+        (0.6, 0.15, dict(n_qmc=512)),
+        # The round-4 two-stage PRODUCTION shape (coarse base + refined
+        # top-T, bench.py's config scaled to this corpus): the refined
+        # argmax must still track the dense f64 oracle round by round.
+        (0.9, 0.05, dict(n_qmc=32, refine_top=24, refine_n_qmc=512)),
+    ],
+    ids=["light-noise", "heavy-noise", "two-stage"],
 )
-def test_oracle_end_to_end_map_curve_parity(label_prob, mistake_prob):
+def test_oracle_end_to_end_map_curve_parity(label_prob, mistake_prob,
+                                            select_kwargs):
     """SURVEY section 4 item 6 / VERDICT r1 item 3 — the strongest parity
     statement available while the reference mount is empty: a FULL interactive
     session (fit -> greedy ITAL selection -> noisy user -> refit -> AP, six
@@ -211,7 +219,9 @@ def test_oracle_end_to_end_map_curve_parity(label_prob, mistake_prob):
     for rnd in range(n_rounds):
         k_sel, k_user = jax.random.split(jax.random.fold_in(skey, rnd))
 
-        batch_t = np.asarray(select_ital(state, batch_size, k_sel, params, n_qmc=512))
+        batch_t = np.asarray(
+            select_ital(state, batch_size, k_sel, params, **select_kwargs)
+        )
         candidates = [i for i in range(n) if i not in labeled]
         batch_o = oracle.ital_select(
             gp_o, candidates, batch_size, label_prob, mistake_prob
