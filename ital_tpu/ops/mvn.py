@@ -349,21 +349,32 @@ def orthant_probs_with_error(
     Returns ``(probs (2^m,), err (2^m,))`` with ``probs`` the mean over the
     random shifts (a strictly better estimate than any single replicate).
     With ``n_shifts = 1`` only the zero shift runs: ``probs`` equals the
-    production unshifted estimate exactly and ``err`` is 0.  Cost is
-    ``n_shifts`` tree evaluations; production selection keeps the single
-    unshifted lattice (err is a diagnostic/validation surface — see
+    production unshifted estimate exactly and ``err`` is 0.  ``n_shifts = 2``
+    is rejected: one random replicate admits no ddof=1 std (the old code
+    returned NaN error bars there — code-review round 4).  Cost is
+    ``n_shifts - 1`` tree evaluations for ``n_shifts >= 3`` (the discarded
+    zero-shift replicate is not evaluated); production selection keeps the
+    single unshifted lattice (err is a diagnostic/validation surface — see
     scripts/qmc_error_study.py and docs/PROFILE.md section 7).
     """
+    if n_shifts == 2:
+        raise ValueError(
+            "n_shifts=2 leaves a single random replicate — no sample std "
+            "exists; use n_shifts=1 (unshifted, err=0) or n_shifts >= 3"
+        )
     m = mu.shape[0]
     shifts = jnp.asarray(shift_table(n_shifts, m - 1, seed), mu.dtype)
-    probs = jax.vmap(
+    if n_shifts < 2:
+        p = orthant_probs_all_configs_tree(
+            mu, chol_cov, n_points=n_points, shift=shifts[0],
+            normalize=normalize,
+        )
+        return p, jnp.zeros_like(p)
+    rand = jax.vmap(
         lambda sh: orthant_probs_all_configs_tree(
             mu, chol_cov, n_points=n_points, shift=sh, normalize=normalize
         )
-    )(shifts)
-    if n_shifts < 2:
-        return probs[0], jnp.zeros_like(probs[0])
-    rand = probs[1:]
+    )(shifts[1:])
     err = jnp.std(rand, axis=0, ddof=1) / np.sqrt(n_shifts - 1)
     return jnp.mean(rand, axis=0), err
 

@@ -38,6 +38,11 @@ RECALL_KS = (10, 50)
 _jit_refit = jax.jit(gp_mod.gp_fit)
 
 
+
+def _steady_ms(val, div: int = 1):
+    """round(val/div, 3), passing through None (no steady span recorded)."""
+    return None if val is None else round(val / max(div, 1), 3)
+
 def _check_capacity(cfg: ExperimentConfig, *, query_slots: int = 1) -> None:
     """Fail fast when the labeled buffers cannot hold the whole experiment.
 
@@ -163,8 +168,8 @@ def run_experiment(
         # Steady-state medians + the separated first-round cost (PROFILE.md
         # section 6 recording rule): the mean above folds the first round's
         # compile/cache-load/transfer into every per-round claim.
-        "select_ms_steady": round(timer.median_ms("select"), 3),
-        "update_ms_steady": round(timer.median_ms("update"), 3),
+        "select_ms_steady": _steady_ms(timer.median_ms("select")),
+        "update_ms_steady": _steady_ms(timer.median_ms("update")),
         "first_round_ms": round(
             timer.first_ms("select") + timer.first_ms("update"), 3),
         "sessions": sessions,
@@ -442,7 +447,7 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
         "map": ap_rows.mean(axis=0) if ap_rows.size else np.zeros(cfg.n_rounds),
         "select_ms": timer.ms("round"),
         "update_ms": 0.0,
-        "select_ms_steady": round(timer.median_ms("round"), 3),
+        "select_ms_steady": _steady_ms(timer.median_ms("round")),
         "first_round_ms": round(timer.first_ms("round"), 3),
         "sessions": [{"rep": r, "cls": c, "query": q} for r, c, q, _ in plan],
         "dataset": dataset.name,
@@ -544,8 +549,8 @@ def run_experiment_fused(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Dict
         "map": ap.mean(axis=0) if ap.size else np.zeros(cfg.n_rounds),
         "select_ms": timer.ms("session") / max(cfg.n_rounds, 1),
         "update_ms": 0.0,
-        "select_ms_steady": round(
-            timer.median_ms("session") / max(cfg.n_rounds, 1), 3),
+        "select_ms_steady": _steady_ms(timer.median_ms("session"),
+                                       cfg.n_rounds),
         "first_round_ms": round(timer.first_ms("session"), 3),
         "sessions": sessions,
         "dataset": dataset.name,
@@ -748,8 +753,8 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             "map": ap.mean(axis=0) if ap.size else np.zeros(cfg.n_rounds),
             "select_ms": timer.ms("cohort") / max(cfg.n_rounds, 1),
             "update_ms": 0.0,
-            "select_ms_steady": round(
-                timer.median_ms("cohort") / max(cfg.n_rounds, 1), 3),
+            "select_ms_steady": _steady_ms(timer.median_ms("cohort"),
+                                           cfg.n_rounds),
             "first_round_ms": round(timer.first_ms("cohort"), 3),
             "sessions": sessions,
             "dataset": dataset.name,
@@ -927,9 +932,10 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
         "select_ms": (timer.ms("session") / max(cfg.n_rounds, 1)
                       if fused else timer.ms("round")),
         "update_ms": 0.0,
-        "select_ms_steady": round(
-            timer.median_ms("session") / max(cfg.n_rounds, 1)
-            if fused else timer.median_ms("round"), 3),
+        "select_ms_steady": (_steady_ms(timer.median_ms("session"),
+                                        cfg.n_rounds)
+                             if fused
+                             else _steady_ms(timer.median_ms("round"))),
         "first_round_ms": round(
             timer.first_ms("session") if fused else timer.first_ms("round"),
             3),

@@ -208,20 +208,28 @@ def mi_with_error(
     """
     from ital_tpu.ops.mvn import orthant_probs_all_configs_tree, shift_table
 
+    if n_shifts == 2:
+        raise ValueError(
+            "n_shifts=2 leaves a single random replicate — no sample std "
+            "exists; use n_shifts=1 (unshifted, err=0) or n_shifts >= 3"
+        )
     m = mu.shape[0]
     pfr = feedback_given_relevance(m, params.label_prob, params.mistake_prob)
     shifts = jnp.asarray(shift_table(n_shifts, m - 1, seed), mu.dtype)
-    mis = jax.vmap(
-        lambda sh: mutual_information_from_relevance(
-            orthant_probs_all_configs_tree(
-                mu, chol_cov, n_points=n_qmc, shift=sh
-            ),
+
+    def _mi(sh):
+        return mutual_information_from_relevance(
+            orthant_probs_all_configs_tree(mu, chol_cov, n_points=n_qmc,
+                                           shift=sh),
             pfr,
         )
-    )(shifts)
+
     if n_shifts < 2:
-        return mis[0], jnp.zeros_like(mis[0])
-    rand = mis[1:]
+        m0 = _mi(shifts[0])
+        return m0, jnp.zeros_like(m0)
+    # The zero-shift replicate is excluded from the statistics, so it is not
+    # evaluated at all (code-review round 4: it was dead compute).
+    rand = jax.vmap(_mi)(shifts[1:])
     return jnp.mean(rand), jnp.std(rand, ddof=1) / np.sqrt(n_shifts - 1)
 
 

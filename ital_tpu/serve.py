@@ -302,78 +302,91 @@ class RetrievalService:
         """Absorb MANY sessions' feedback in one vmapped ``gp_update``.
 
         The other half of the cohort round (VERDICT r3 weak 4: selection
-        batched over HTTP but absorption stayed per-session): label blocks are
-        padded to ONE shared width (the cohort's max, rounded to the session
-        bucket), per-session state batches on a leading axis over the shared
-        corpus, and one compiled update advances the whole cohort — the
-        runner's ``round_v`` absorption exposed to the serving surface.
-        Requires identical capacity across the group and room for the padded
-        block in every session; otherwise falls back to per-session updates
-        with identical results (pad slots are valid=False — inert — exactly
-        as in :meth:`ActiveRetrieval.update`).
+        batched over HTTP but absorption stayed per-session).  Per-session
+        semantics are preserved EXACTLY (code-review round 4): each session's
+        block pads to ITS OWN bucket width (clamped to its remaining
+        capacity, like :meth:`ActiveRetrieval.update`), sessions sharing a
+        (width, cap) signature batch through one compiled stacked update,
+        and the reported ``labeled`` count is identical to what K individual
+        ``POST /feedback`` calls would produce — batching is a throughput
+        detail, never a semantics change.  Density plays no role in a GP
+        update, so mixed-density cohorts batch too.
+
+        Error handling: malformed input (non-integer keys/labels) rejects the
+        WHOLE request before any state changes; per-session failures after
+        that (capacity exhausted) come back as ``{"error": ...}`` entries
+        with every other session still applied — the caller always learns
+        exactly which sessions absorbed their labels.
         """
-        import jax
         import jax.numpy as jnp
 
         from ital_tpu.models.session import _UPDATE_BUCKET
 
-        fb = {sid: labels for sid, labels in fb.items()}
         entries = [(sid, *self._entry(sid)) for sid in fb]
+        # Parse EVERY label dict before touching any state: a malformed
+        # session deep in the dict must not leave earlier sessions updated.
+        parsed = {
+            sid: [(int(i), 0 if v in (0, None) else int(v))
+                  for i, v in labels.items()]
+            for sid, labels in fb.items()
+        }
         for _, _, lock in sorted(entries, key=lambda e: e[0]):
             lock.acquire()
         try:
             out: Dict[str, dict] = {}
-            # Sessions with an EMPTY label dict are no-ops (the per-session
-            # path returns immediately); including them in the stacked update
-            # would append bpad pure-pad slots and burn their capacity.
-            active = [(sid, s, labels)
-                      for (sid, s, _), labels in zip(entries, fb.values())
-                      if labels]
-            for (sid, s, _), labels in zip(entries, fb.values()):
-                if not labels:
-                    out[sid] = {"labeled": int(np.asarray(s.state.count))}
-            sessions = [s for _, s, _ in active]
-            widths = [len(labels) for _, _, labels in active]
-            bpad = -(-max(widths, default=0) // _UPDATE_BUCKET) * _UPDATE_BUCKET
-            caps_equal = len({s.state.cap for s in sessions}) <= 1
             # One stacked transfer for every count (K serial int(np.asarray)
             # fetches each paid the ~30 ms tunnel RTT — measured to dominate
             # this endpoint).
-            counts0 = (np.asarray(jnp.stack([s.state.count for s in sessions]))
-                       if sessions else np.zeros(0, np.int32))
-            fits = bool(sessions) and all(
-                int(c) + bpad <= s.state.cap
-                for c, s in zip(counts0, sessions)
+            counts0 = np.asarray(
+                jnp.stack([s.state.count for _, s, _ in entries])
             )
-            dens_shared = _density_compatible(sessions)
-            if (not caps_equal or not fits or not dens_shared
-                    or len(sessions) <= 1 or bpad == 0):
-                for sid, s, labels in active:
-                    out[sid] = self._apply_feedback_locked(s, labels)
-                return out
+            # Per-session width: own bucket, clamped to remaining capacity —
+            # exactly ActiveRetrieval.update's arithmetic.
+            groups: Dict[tuple, list] = {}
+            for (sid, s, _), c0 in zip(entries, counts0):
+                items = parsed[sid]
+                if not items:
+                    out[sid] = {"labeled": int(c0)}  # no-op, like update({})
+                    continue
+                if int(c0) + len(items) > s.state.cap:
+                    out[sid] = {"error": (
+                        f"labeled-slot capacity exceeded: {int(c0)} used + "
+                        f"{len(items)} new > cap={s.state.cap}")}
+                    continue
+                width = min(
+                    -(-len(items) // _UPDATE_BUCKET) * _UPDATE_BUCKET,
+                    s.state.cap - int(c0),
+                )
+                groups.setdefault((width, s.state.cap), []).append(
+                    (sid, s, items)
+                )
 
-            k = len(sessions)
-            idx = np.zeros((k, bpad), np.int32)
-            y = np.zeros((k, bpad), np.float32)
-            for j, (_, _, labels) in enumerate(active):
-                items = [(int(i), 0 if v in (0, None) else int(v))
-                         for i, v in labels.items()]
-                idx[j, : len(items)] = [i for i, _ in items]
-                y[j, : len(items)] = [v for _, v in items]
-            valid = y != 0.0
+            for (width, _cap), group in groups.items():
+                if len(group) == 1:
+                    sid, s, items = group[0]
+                    out[sid] = self._apply_feedback_locked(s, dict(items))
+                    continue
+                k = len(group)
+                idx = np.zeros((k, width), np.int32)
+                y = np.zeros((k, width), np.float32)
+                for j, (_, _, items) in enumerate(group):
+                    idx[j, : len(items)] = [i for i, _ in items]
+                    y[j, : len(items)] = [v for _, v in items]
+                valid = y != 0.0
 
-            # ONE compiled program: stack K states -> vmapped gp_update ->
-            # unstack.  Doing the stack/unstack op-by-op on the host costs
-            # ~(2 x K x leaves) tiny dispatches, which measured SLOWER than
-            # K individual updates behind the tunnel's per-dispatch cost.
-            sts = tuple(s.state for s in sessions)
-            new_states, counts = self._cohort_update(k)(
-                sts, jnp.asarray(idx), jnp.asarray(y), jnp.asarray(valid)
-            )
-            counts = np.asarray(counts)
-            for j, (sid, s, _) in enumerate(active):
-                s.state = new_states[j]
-                out[sid] = {"labeled": int(counts[j])}
+                # ONE compiled program per group: stack K states -> vmapped
+                # gp_update -> unstack.  Doing the stack/unstack op-by-op on
+                # the host costs ~(2 x K x leaves) tiny dispatches, which
+                # measured SLOWER than K individual updates behind the
+                # tunnel's per-dispatch cost.
+                sts = tuple(s.state for _, s, _ in group)
+                new_states, counts = self._cohort_update(k)(
+                    sts, jnp.asarray(idx), jnp.asarray(y), jnp.asarray(valid)
+                )
+                counts = np.asarray(counts)
+                for j, (sid, s, _) in enumerate(group):
+                    s.state = new_states[j]
+                    out[sid] = {"labeled": int(counts[j])}
             return out
         finally:
             for _, _, lock in entries:
@@ -421,7 +434,12 @@ class RetrievalService:
                             var=nb.hyper.var[j],
                             noise=nb.hyper.noise[j],
                         ),
-                        density=sts[0].density,
+                        # Each session keeps ITS OWN density vector: the GP
+                        # update never reads it, and handing every output
+                        # sts[0]'s copy silently rewrote mixed-density
+                        # cohorts (code-review round 4) — density plays no
+                        # role here, so mixed cohorts batch freely.
+                        density=sts[j].density,
                     )
                     for j in range(len(sts))
                 )

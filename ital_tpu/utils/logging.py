@@ -70,13 +70,19 @@ class Timer:
         v = self.values.get(name)
         return 1e3 * v[0] if v else 0.0
 
-    def median_ms(self, name: str, *, skip_first: int = 1) -> float:
+    def median_ms(self, name: str, *, skip_first: int = 1) -> Optional[float]:
         """Steady-state median milliseconds, excluding the first
-        ``skip_first`` spans (the compile/transfer rounds)."""
-        v = self.values.get(name, [])
-        v = v[skip_first:] or v
+        ``skip_first`` spans (the compile/transfer rounds).
+
+        Returns ``None`` when no span survives the exclusion (e.g. a single
+        recorded cohort): there IS no steady-state measurement then, and
+        falling back to the compile-laden first span would be exactly the
+        pollution the PROFILE.md section 6 recording rule forbids in fields
+        labeled "steady" (code-review round 4) — records carry JSON null
+        instead."""
+        v = self.values.get(name, [])[skip_first:]
         if not v:
-            return 0.0
+            return None
         s = sorted(v)
         mid = len(s) // 2
         return 1e3 * (s[mid] if len(s) % 2 else 0.5 * (s[mid - 1] + s[mid]))

@@ -55,7 +55,7 @@ def _mid_session_state(ds, ls, var, noise):
     )
 
 
-from scripts.timing_protocol import pipeline_ms as _pipeline_ms
+from scripts.timing_protocol import measure_select
 
 
 def _time_scale(name, ds, report):
@@ -79,13 +79,7 @@ def _time_scale(name, ds, report):
                 s, BATCH, key, params, n_qmc=N_QMC, pool_size=_p
             )
         )
-        t0 = time.perf_counter()
-        np.asarray(select(state, jax.random.PRNGKey(0)))
-        first_s = time.perf_counter() - t0
-        key0 = jax.random.PRNGKey(1)
-        t1 = _pipeline_ms(select, lambda r: (state, jax.random.fold_in(key0, r)), 4)
-        t2 = _pipeline_ms(select, lambda r: (state, jax.random.fold_in(key0, r)), 12)
-        slope = (t2 - t1) / 8
+        first_s, slope = measure_select(select, state)
         rows[str(pool) if pool else "full"] = {
             "ms_per_round": round(slope, 2),
             "first_call_s": round(first_s, 1),

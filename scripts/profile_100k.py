@@ -61,7 +61,7 @@ def _setup_state():
     return ds, state, cls
 
 
-from scripts.timing_protocol import pipeline_ms as _pipeline_ms
+from scripts.timing_protocol import measure_select, pipeline_slope_ms
 
 
 def main() -> int:
@@ -83,14 +83,8 @@ def main() -> int:
     select = jax.jit(
         lambda s, key: select_ital(s, BATCH, key, params, n_qmc=N_QMC)
     )
-    t_first = time.perf_counter()
-    np.asarray(select(state, jax.random.PRNGKey(0)))
-    first_call_s = time.perf_counter() - t_first  # compile OR cache load + run
-    k1, k2 = 4, 12
+    first_call_s, slope = measure_select(select, state)
     key0 = jax.random.PRNGKey(1)
-    t1 = _pipeline_ms(select, lambda r: (state, jax.random.fold_in(key0, r)), k1)
-    t2 = _pipeline_ms(select, lambda r: (state, jax.random.fold_in(key0, r)), k2)
-    slope = (t2 - t1) / (k2 - k1)
     report["select_first_call_s"] = round(first_call_s, 2)
     report["select_pipeline_slope_ms"] = round(slope, 2)
 
@@ -145,9 +139,9 @@ def main() -> int:
 
         fn = jax.jit(scores_fn)
         np.asarray(fn(state, jax.random.PRNGKey(0)))  # compile
-        tA = _pipeline_ms(fn, lambda r: (state, jax.random.fold_in(key0, r)), 4)
-        tB = _pipeline_ms(fn, lambda r: (state, jax.random.fold_in(key0, r)), 12)
-        sweep[str(block)] = round((tB - tA) / 8, 2)
+        sweep[str(block)] = round(pipeline_slope_ms(
+            fn, lambda r: (state, jax.random.fold_in(key0, r))
+        ), 2)
     report["mi_scan_block_sweep_ms"] = sweep
 
     # --- 4. device time via xplane for steady-state rounds ------------------

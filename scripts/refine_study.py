@@ -42,7 +42,7 @@ CONFIGS = (
 )
 
 from scripts.pool_sweep import _mid_session_state  # noqa: E402
-from scripts.timing_protocol import pipeline_ms  # noqa: E402
+from scripts.timing_protocol import measure_select  # noqa: E402
 
 
 def _time_scale(name, ds, report):
@@ -66,13 +66,7 @@ def _time_scale(name, ds, report):
                 refine_top=_t, refine_n_qmc=_q or 512,
             )
         )
-        t0 = time.perf_counter()
-        np.asarray(select(state, jax.random.PRNGKey(0)))
-        first_s = time.perf_counter() - t0
-        key0 = jax.random.PRNGKey(1)
-        t1 = pipeline_ms(select, lambda r: (state, jax.random.fold_in(key0, r)), 4)
-        t2 = pipeline_ms(select, lambda r: (state, jax.random.fold_in(key0, r)), 12)
-        slope = (t2 - t1) / 8
+        first_s, slope = measure_select(select, state)
         rows[tag] = {"ms_per_round": round(slope, 2),
                      "first_call_s": round(first_s, 1)}
         print(f"  {name} {tag:>16}: {slope:.2f} ms/round "

@@ -84,7 +84,10 @@ def main() -> int:
                 )
                 curves.append([round(float(v), 4) for v in res["map"]])
                 select_ms.append(res["select_ms"])
-                steady_ms.append(res.get("select_ms_steady", 0.0))
+                if res.get("select_ms_steady") is not None:
+                    # None = no steady span recorded (e.g. a single cohort);
+                    # excluded rather than aggregated as a bogus 0.
+                    steady_ms.append(res["select_ms_steady"])
                 first_ms.append(res.get("first_round_ms", 0.0))
         except Exception as exc:  # record the failure, keep going
             summary[name] = {"error": f"{type(exc).__name__}: {exc}"}
@@ -105,7 +108,8 @@ def main() -> int:
             # compile/cache-load/transfer cost is a separate field, never
             # averaged in (PROFILE.md section 6 recording rule; the round-3
             # config-5 record violated it with a compile-polluted mean).
-            "select_ms_steady": round(float(np.median(steady_ms)), 2),
+            "select_ms_steady": (round(float(np.median(steady_ms)), 2)
+                                 if steady_ms else None),
             "first_round_ms": round(float(np.median(first_ms)), 2),
             "select_ms_mean_DEPRECATED": round(float(np.mean(select_ms)), 2),
             "wall_s": round(time.time() - t0, 1),

@@ -41,7 +41,7 @@ LS, VAR, NOISE = 50.0, 1.0, 0.1
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-from scripts.timing_protocol import pipeline_ms as _pipeline_ms
+from scripts.timing_protocol import measure_select
 
 
 def main() -> int:
@@ -86,21 +86,16 @@ def main() -> int:
         state, jnp.asarray(warm), jnp.asarray(ys), jnp.ones(8, bool)
     )
 
-    key0 = jax.random.PRNGKey(1)
     for label, pool in (("select_full", 0), ("select_pool4096", POOL)):
         select = jax.jit(
             lambda s, key, _p=pool: select_ital(
                 s, BATCH, key, params, n_qmc=N_QMC, pool_size=_p
             )
         )
-        t0 = time.perf_counter()
-        np.asarray(select(state, jax.random.PRNGKey(0)))
-        first_s = time.perf_counter() - t0
-        t1 = _pipeline_ms(select, lambda r: (state, jax.random.fold_in(key0, r)), 4)
-        t2 = _pipeline_ms(select, lambda r: (state, jax.random.fold_in(key0, r)), 12)
+        first_s, slope = measure_select(select, state)
         report[label] = {
             "first_call_s": round(first_s, 1),
-            "ms_per_round": round((t2 - t1) / 8, 2),
+            "ms_per_round": round(slope, 2),
         }
         print(f"   {label}: {report[label]['ms_per_round']} ms/round "
               f"(first {first_s:.1f}s)", flush=True)

@@ -42,3 +42,27 @@ def pipeline_slope_ms(fn, args_fn, reps_lo: int = 4, reps_hi: int = 12,
     lo = pipeline_ms(fn, args_fn, reps_lo, trials)
     hi = pipeline_ms(fn, args_fn, reps_hi, trials)
     return (hi - lo) / (reps_hi - reps_lo)
+
+
+def measure_select(select, state, *, reps_lo: int = 4, reps_hi: int = 12,
+                   trials: int = 3) -> tuple[float, float]:
+    """(first_call_s, slope_ms) for a jitted ``(state, key) -> batch`` fn.
+
+    The one measurement shape every selection-timing study uses: first call
+    timed alone (compile / cache load / transfer, reported separately per the
+    PROFILE.md section 6 rule), then the per-call pipeline slope on fresh
+    fold_in keys.  Studies must call THIS rather than re-deriving the
+    first/slope split (code-review round 4: three drifting copies).
+    """
+    import jax
+
+    t0 = time.perf_counter()
+    out = select(state, jax.random.PRNGKey(0))
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    first_s = time.perf_counter() - t0
+    key0 = jax.random.PRNGKey(1)
+    slope = pipeline_slope_ms(
+        select, lambda r: (state, jax.random.fold_in(key0, r)),
+        reps_lo, reps_hi, trials,
+    )
+    return first_s, slope

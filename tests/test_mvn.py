@@ -166,6 +166,18 @@ def test_orthant_error_estimate_tracks_true_error(rng):
     # Each config's true error within a small multiple of its self-estimate
     # (standard-error scaling; 6x + floor absorbs the t-distribution tail).
     assert np.all(np.abs(pm - truth) < 6.0 * err + 5e-4)
+    # Error bars are finite (n_shifts=2 used to produce 0/0 NaN — code-review
+    # round 4: one random replicate admits no ddof=1 std, so it is rejected).
+    assert np.all(np.isfinite(err))
+    import pytest
+
+    from ital_tpu.select.ital import mi_with_error
+    from ital_tpu.select.base import StrategyParams
+
+    with pytest.raises(ValueError, match="n_shifts"):
+        orthant_probs_with_error(muj, chol, n_points=64, n_shifts=2)
+    with pytest.raises(ValueError, match="n_shifts"):
+        mi_with_error(muj, chol, StrategyParams(), n_qmc=64, n_shifts=2)
 
 
 def test_mi_with_error_tracks_oracle(rng):

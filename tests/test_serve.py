@@ -314,6 +314,84 @@ def test_batch_feedback_empty_labels_is_noop(server):
         assert code == 200 and r["sessions"][s_empty]["labeled"] == 1
 
 
+def test_batch_feedback_per_session_widths_match_individual(server):
+    """Cohort absorption must preserve PER-SESSION capacity semantics
+    (code-review round 4): each session pads to its OWN bucket width, so a
+    1-label session in a cohort with a 5-label session burns 4 slots — not
+    the cohort max of 8 — and 'labeled' is identical to what individual
+    POST /feedback calls produce."""
+    def make(q):
+        _, r = _req(f"{server}/sessions", "POST", {})
+        sid = r["session_id"]
+        _req(f"{server}/sessions/{sid}/query", "POST", {"index": q})
+        return sid
+
+    s_small, s_big = make(3), make(47)
+    # Reference: the same feedback via the per-session endpoint.
+    s_small_ref, s_big_ref = make(3), make(47)
+    _req(f"{server}/sessions/{s_small_ref}/feedback", "POST",
+         {"labels": {"50": 1}})
+    _req(f"{server}/sessions/{s_big_ref}/feedback", "POST",
+         {"labels": {str(i): 1 for i in (60, 61, 62, 63, 64)}})
+    _, r_small = _req(f"{server}/sessions/{s_small_ref}/batch?k=1")
+
+    code, r = _req(f"{server}/batch_feedback", "POST",
+                   {"feedback": {s_small: {"50": 1},
+                                 s_big: {str(i): 1
+                                         for i in (60, 61, 62, 63, 64)}}})
+    assert code == 200
+    # small: 1 (query) + own bucket 4 = 5; big: 1 + bucket(5)=8 -> 9.
+    assert r["sessions"][s_small]["labeled"] == 5
+    assert r["sessions"][s_big]["labeled"] == 9
+
+
+def test_batch_feedback_capacity_error_is_per_session(server):
+    """A session whose labels would overflow its capacity gets a per-session
+    {'error': ...} entry; the rest of the cohort is still absorbed (the old
+    code raised mid-loop, leaving the caller unable to tell which sessions
+    were updated — code-review round 4)."""
+    def make(q):
+        _, r = _req(f"{server}/sessions", "POST", {})
+        sid = r["session_id"]
+        _req(f"{server}/sessions/{sid}/query", "POST", {"index": q})
+        return sid
+
+    s_full, s_ok = make(3), make(47)
+    # The server fixture's cap is 32; seven 1-label feedbacks (4 padded slots
+    # each) bring s_full to 1 + 28 = 29 used slots.
+    for j in range(7):
+        _, rr = _req(f"{server}/sessions/{s_full}/feedback", "POST",
+                     {"labels": {str(10 + j): 1}})
+    assert rr["labeled"] == 29
+
+    code, r = _req(f"{server}/batch_feedback", "POST",
+                   {"feedback": {s_full: {str(i): 1 for i in range(90, 99)},
+                                 s_ok: {"50": 1}}})
+    assert code == 200
+    assert "error" in r["sessions"][s_full]
+    assert "capacity" in r["sessions"][s_full]["error"]
+    assert r["sessions"][s_ok]["labeled"] == 5
+
+
+def test_batch_feedback_malformed_input_is_atomic(server):
+    """A malformed label key anywhere in the cohort rejects the WHOLE request
+    (400) with NO session updated — not a partial application."""
+    def make(q):
+        _, r = _req(f"{server}/sessions", "POST", {})
+        sid = r["session_id"]
+        _req(f"{server}/sessions/{sid}/query", "POST", {"index": q})
+        return sid
+
+    s_a, s_b = make(3), make(47)
+    code, r = _req(f"{server}/batch_feedback", "POST",
+                   {"feedback": {s_a: {"50": 1},
+                                 s_b: {"not-an-index": 1}}})
+    assert code == 400
+    # s_a must NOT have been updated before the rejection.
+    _, r = _req(f"{server}/batch_feedback", "POST", {"feedback": {s_a: {}}})
+    assert r["sessions"][s_a]["labeled"] == 1
+
+
 def test_restored_density_session_excluded_from_cohort():
     """A restored density session's vector may have been built at a different
     length-scale than this server's default; restore marks it with a unique

@@ -25,8 +25,10 @@ def test_timer_last_vs_mean():
 
 def test_timer_steady_median_excludes_first():
     """Steady-state medians (round 4): first_ms separates the compile round,
-    median_ms skips it; with only the first span recorded the median falls
-    back to it rather than reporting 0."""
+    median_ms skips it; with ONLY the first span recorded there is no steady
+    measurement and median_ms reports None (code-review round 4: the old
+    fallback relabeled the compile span as 'steady' — the exact pollution
+    the field exists to prevent)."""
     import time
 
     from ital_tpu.utils.logging import Timer
@@ -34,13 +36,13 @@ def test_timer_steady_median_excludes_first():
     t = Timer()
     with t.span("round"):
         time.sleep(0.05)  # "compile" round
-    assert t.median_ms("round") > 30  # fallback: only the first exists
+    assert t.median_ms("round") is None  # only the compile span exists
     for _ in range(4):
         with t.span("round"):
             time.sleep(0.002)
     assert t.first_ms("round") > 30
     assert t.median_ms("round") < 30  # first round excluded
-    assert t.median_ms("missing") == 0.0 and t.first_ms("missing") == 0.0
+    assert t.median_ms("missing") is None and t.first_ms("missing") == 0.0
 
 
 def test_runner_reports_steady_and_first_round_timing():
