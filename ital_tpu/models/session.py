@@ -41,12 +41,20 @@ _UPDATE_BUCKET = 4
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_select(strategy_name: str, k: int):
+def _jit_select(strategy_name: str, k: int, kw_items: tuple = ()):
     """Process-wide jitted selection, shared by every session with the same
-    (strategy, batch size) — new sessions over the same corpus reuse the
-    compiled program instead of re-tracing per instance."""
+    (strategy, batch size, static kwargs) — new sessions over the same corpus
+    reuse the compiled program instead of re-tracing per instance.
+    ``kw_items`` is the sorted tuple of static strategy kwargs (n_qmc,
+    pool_size, refine_top, ...) so it is hashable for the cache; kwargs the
+    strategy's signature does not declare are dropped (a service-wide ITAL
+    option set must not break a session created with strategy=random)."""
+    import inspect
+
     sel = get_strategy(strategy_name)
-    return jax.jit(lambda st, key, pp: sel(st, k, key, pp))
+    sig = inspect.signature(sel)
+    kw = {name: v for name, v in kw_items if name in sig.parameters}
+    return jax.jit(lambda st, key, pp: sel(st, k, key, pp, **kw))
 
 
 class ActiveRetrieval:
@@ -75,12 +83,17 @@ class ActiveRetrieval:
         tradeoff: float = 0.5,
         with_density: bool = False,
         seed: int = 0,
+        method_kwargs: Optional[dict] = None,
     ):
         x = jnp.asarray(x)
         self.state = gp_mod.gp_init(x, length_scale, var, noise, cap)
         if with_density:
             self.state = self.state.replace(density=gp_mod.corpus_density(self.state))
         self.strategy_name = strategy
+        # Static per-strategy options (the reference passes these as ctor
+        # kwargs too — e.g. ITAL's tractability/accuracy knobs n_qmc,
+        # pool_size, subsample_size, refine_top, refine_n_qmc).
+        self.method_kwargs = dict(method_kwargs or {})
         get_strategy(strategy)  # fail fast on unknown strategy names
         self.params = StrategyParams(
             label_prob=jnp.asarray(label_prob),
@@ -100,7 +113,8 @@ class ActiveRetrieval:
     def fetch_unlabelled(self, k: int) -> np.ndarray:
         """Next batch of k candidate indices to show the user."""
         self._key, sub = jax.random.split(self._key)
-        fn = _jit_select(self.strategy_name, int(k))
+        fn = _jit_select(self.strategy_name, int(k),
+                         tuple(sorted(self.method_kwargs.items())))
         return np.asarray(fn(self.state, sub, self.params))
 
     def update(self, feedback: Dict[int, int]) -> None:

@@ -120,6 +120,7 @@ class RetrievalService:
         label_prob: float = 1.0,
         mistake_prob: float = 0.0,
         corpus_name: str = "corpus",
+        method_kwargs: Optional[dict] = None,
     ):
         import jax.numpy as jnp
 
@@ -131,6 +132,11 @@ class RetrievalService:
             length_scale=length_scale, var=var, noise=noise, cap=cap,
             strategy=strategy, label_prob=label_prob, mistake_prob=mistake_prob,
         )
+        # Static strategy options (n_qmc, pool_size, refine_top, ...) from
+        # the config's [METHOD] section — applied to every session (they are
+        # part of the compiled program, so they are service-level, not
+        # per-request).
+        self.method_kwargs = dict(method_kwargs or {})
         self.corpus_name = corpus_name
         # sid -> (ActiveRetrieval, per-session lock).  The registry lock
         # guards ONLY this dict and the id counter; session operations hold
@@ -164,6 +170,7 @@ class RetrievalService:
             cap=int(cfg["cap"]), strategy=str(cfg["strategy"]),
             label_prob=float(cfg["label_prob"]),
             mistake_prob=float(cfg["mistake_prob"]),
+            method_kwargs=self.method_kwargs,
         )
         from ital_tpu.runner import DENSITY_STRATEGIES
 
@@ -278,9 +285,14 @@ class RetrievalService:
                 mu=0, sig2=0,
                 hyper=GPHyper(length_scale=0, var=0, noise=0), density=None,
             )
+            import inspect
+
             select = get_strategy(strategy)
+            sig = inspect.signature(select)
+            kw = {n: v for n, v in self.method_kwargs.items()
+                  if n in sig.parameters}
             select_v = jax.vmap(
-                lambda st, kk, pp: select(st, k, kk, pp),
+                lambda st, kk, pp: select(st, k, kk, pp, **kw),
                 in_axes=(axes_state, 0, 0),
             )
 
@@ -650,6 +662,8 @@ def service_from_config(cfg) -> RetrievalService:
         cap=cfg.cap, strategy=cfg.method,
         label_prob=cfg.user.label_prob, mistake_prob=cfg.user.mistake_prob,
         corpus_name=ds.name,
+        method_kwargs={k: v for k, v in cfg.method_kwargs.items()
+                       if k != "tradeoff"},
     )
 
 

@@ -426,6 +426,61 @@ def test_restored_density_session_excluded_from_cohort():
     assert calls == []  # fell back per-session: no batched program was built
 
 
+def test_service_method_kwargs_reach_selection():
+    """Service-level [METHOD] options (n_qmc / pool_size / refine_top —
+    ITAL's tractability and accuracy knobs) flow into every session's
+    compiled selection, including the batched cohort path; sessions created
+    with a strategy that does not declare them (random) drop them instead of
+    crashing."""
+    import jax
+
+    rng = np.random.default_rng(2)
+    centers = rng.normal(size=(3, 6)) * 4
+    x = np.concatenate([c + rng.normal(size=(40, 6)) for c in centers])
+    svc = RetrievalService(
+        x.astype(np.float32), length_scale=2.5, noise=0.1, cap=32,
+        strategy="ital", label_prob=0.9, mistake_prob=0.05,
+        method_kwargs={"n_qmc": 32, "pool_size": 20,
+                       "refine_top": 8, "refine_n_qmc": 64},
+    )
+    sids = []
+    for q in (3, 47):
+        sid = svc.create_session()
+        svc.set_query(sid, q)
+        svc.feedback(sid, {"14": 1, "63": -1})
+        sids.append(sid)
+
+    # Per-session and cohort selection both run under the kwargs and agree.
+    singles = {sid: svc.next_batch(sid, 3) for sid in sids}
+    # Rewind the per-session PRNG keys so the cohort draw matches.
+    for sid in sids:
+        s, _ = svc._entry(sid)
+        s._key = jax.random.PRNGKey(0)
+    for sid in sids:
+        s, _ = svc._entry(sid)
+        s._key = jax.random.PRNGKey(0)
+    a = {sid: svc.next_batch(sid, 3) for sid in sids}
+    for sid in sids:
+        s, _ = svc._entry(sid)
+        s._key = jax.random.PRNGKey(0)
+    b = svc.next_batch_many(sids, 3)
+    assert a == b
+    # The pool restriction is real: every pick is inside the top-20 pool
+    # by posterior mean (excluding labeled), per session.
+    from ital_tpu.select.ital import candidate_pool_indices
+
+    for sid in sids:
+        s, _ = svc._entry(sid)
+        pool, _forbid = candidate_pool_indices(s.state, s.state.mu, 20)
+        assert set(singles[sid]) <= {int(i) for i in np.asarray(pool)}
+
+    # A random-strategy session under the same service must not receive the
+    # ITAL-only kwargs.
+    sid_r = svc.create_session(strategy="random")
+    svc.set_query(sid_r, 3)
+    assert len(svc.next_batch(sid_r, 3)) == 3
+
+
 def test_batch_select_duplicate_ids_no_deadlock(server):
     """Duplicate session ids in the group must not re-acquire the same
     per-session lock (code-review round 3: reproduced permanent deadlock)."""
