@@ -30,12 +30,24 @@ def main() -> int:
     from ital_tpu.utils.config import load_config
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    log = os.path.join(repo, "results", "bigcap_session_100k.jsonl")
+    # Extra SECTION.key=value overrides on argv record a tagged variant
+    # (e.g. METHOD.pool_size=4096 METHOD.refine_top=64 --tag fast) without
+    # overwriting the baseline record.
+    argv = sys.argv[1:]
+    tag = ""
+    if "--tag" in argv:
+        i = argv.index("--tag")
+        tag = "_" + argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    stem = f"bigcap_session_100k{tag}"
+    log = os.path.join(repo, "results", f"{stem}.jsonl")
+    if os.path.exists(log):
+        os.unlink(log)
     cfg = load_config(
         os.path.join(repo, "configs", "scale100k.ini"),
         ("EXPERIMENT.n_rounds=3", "EXPERIMENT.max_classes=1",
          "GP.cap=1024", "GP.chol2d_threshold=1024",
-         f"EXPERIMENT.log_jsonl={log}"),
+         f"EXPERIMENT.log_jsonl={log}") + tuple(argv),
     )
     t0 = time.time()
     res = run_experiment(cfg)
@@ -50,6 +62,7 @@ def main() -> int:
     record = {
         "dataset": res["dataset"],
         "method": res["method"],
+        "method_kwargs": dict(cfg.method_kwargs),
         "cap": cfg.cap,
         "chol2d": bool(res.get("chol2d")),
         "mesh_devices": res.get("mesh_devices"),
@@ -61,7 +74,7 @@ def main() -> int:
                 "timings separate first-call compile/transfer from steady "
                 "state",
     }
-    out = os.path.join(repo, "results", "bigcap_session_100k.json")
+    out = os.path.join(repo, "results", f"{stem}.json")
     with open(out, "w") as fh:
         json.dump(record, fh, indent=1)
     print(json.dumps(record, indent=1))
