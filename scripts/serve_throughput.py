@@ -44,10 +44,15 @@ def main() -> int:
         ds, ls = mirflickr(), 50.0
     else:
         ds, ls = digits(), 2.2
+    # SERVE_TP_FASTSEL=1 serves the round-4 production selection config
+    # (coarse base + refined top-T) service-wide, like
+    # `METHOD.n_qmc=32 METHOD.refine_top=64` in a server config.
+    mkw = ({"n_qmc": 32, "refine_top": 64, "refine_n_qmc": 512}
+           if os.environ.get("SERVE_TP_FASTSEL") else {})
     svc = RetrievalService(
         ds.x, length_scale=ls, var=1.0, noise=0.1, cap=64,
         strategy="ital", label_prob=0.9, mistake_prob=0.05,
-        corpus_name=CORPUS,
+        corpus_name=CORPUS, method_kwargs=mkw,
     )
     srv = make_server(svc, port=0)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
@@ -120,8 +125,10 @@ def main() -> int:
         "full_round_individual_ms": round(round_indiv_ms, 1),
         "full_round_speedup": round(round_indiv_ms / round_cohort_ms, 2),
     }
-    name = ("serve_throughput.json" if CORPUS == "digits"
-            else f"serve_throughput_{CORPUS}.json")
+    report["method_kwargs"] = mkw
+    stem = ("serve_throughput" if CORPUS == "digits"
+            else f"serve_throughput_{CORPUS}")
+    name = stem + ("_fastsel" if mkw else "") + ".json"
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "results", name)
     with open(out, "w") as fh:
