@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Regenerate the round-4 study figures from their result records.
+
+Checked-in generator (the round-3 verdict flagged figures without one):
+
+- ``results/pool_tradeoff.png`` from ``results/pool_sweep.json`` (timing:
+  ms/round vs candidate-pool size, pipeline-slope protocol on the chip) and
+  ``results/pool_tradeoff.json`` (quality: 8-seed MAP curves per pool).
+- ``results/refine_study.png`` from ``results/refine_study.json`` (two-stage
+  scoring: coarse-scan n_qmc + top-T refinement — timing and 8-seed MAP).
+
+Both figures pair the speed panel with the quality panel so the knob's
+tradeoff is one glance. Usage::
+
+    python scripts/plot_studies.py            # writes both PNGs
+    python scripts/plot_studies.py --only pool
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+RESULTS = os.path.join(os.path.dirname(__file__), "..", "results")
+
+# Fixed categorical order (entity -> hue, never cycled): the same config
+# keeps its color across both panels and both figures.
+PALETTE = ["#4269d0", "#efb118", "#ff725c", "#6cc5b0", "#9c6b4e"]
+
+
+def _map_panel(ax, records, order, colors, title):
+    """MAP-vs-round curves with +/- one cross-seed std bands."""
+    for name, color in zip(order, colors):
+        rec = records[name]
+        curve = rec["map"]
+        rounds = list(range(1, len(curve) + 1))
+        ax.plot(rounds, curve, marker="o", markersize=3, color=color,
+                label=name, linewidth=2)
+        std = rec.get("map_std")
+        if std:
+            lo = [m - s for m, s in zip(curve, std)]
+            hi = [m + s for m, s in zip(curve, std)]
+            ax.fill_between(rounds, lo, hi, color=color, alpha=0.15,
+                            linewidth=0)
+    n_seeds = max(len(records[n].get("seeds", [])) for n in order)
+    ax.set_xlabel("feedback round")
+    ax.set_ylabel(f"MAP (mean of {n_seeds} seeds, band = ±1 std)")
+    ax.set_title(title)
+    ax.grid(True, alpha=0.3)
+    ax.legend(frameon=False)
+
+
+def plot_pool_tradeoff():
+    with open(os.path.join(RESULTS, "pool_sweep.json")) as fh:
+        sweep = json.load(fh)
+    with open(os.path.join(RESULTS, "pool_tradeoff.json")) as fh:
+        quality = json.load(fh)
+
+    fig, (ax_t, ax_q) = plt.subplots(1, 2, figsize=(11, 4.2))
+
+    # Timing: one line per corpus size, pool size on a log x-axis ("full"
+    # plotted at the corpus size itself).
+    for (key, label), color in zip(
+            [("mirflickr25k", "MIRFLICKR 25k"), ("corpus100k", "corpus 100k")],
+            PALETTE):
+        block = sweep[key]
+        xs, ys = [], []
+        for pool, rec in block["pools"].items():
+            xs.append(block["n"] if pool == "full" else int(pool))
+            ys.append(rec["ms_per_round"])
+        xs, ys = zip(*sorted(zip(xs, ys)))
+        ax_t.plot(xs, ys, marker="o", markersize=5, color=color, label=label,
+                  linewidth=2)
+        ax_t.annotate("full", (xs[-1], ys[-1]), textcoords="offset points",
+                      xytext=(0, 7), ha="center", fontsize=8, color="#555")
+    ax_t.set_xscale("log")
+    ax_t.set_xlabel("candidate pool size (log)")
+    ax_t.set_ylabel("selection ms/round (pipeline slope)")
+    ax_t.set_title("Compact-pool scan: cost scales with the pool")
+    ax_t.grid(True, alpha=0.3)
+    ax_t.legend(frameon=False)
+
+    order = [k for k in ("full", "16384", "4096", "1024") if k in quality]
+    labels = {"full": "full corpus", "16384": "pool 16384",
+              "4096": "pool 4096", "1024": "pool 1024"}
+    recs = {labels[k]: quality[k] for k in order}
+    _map_panel(ax_q, recs, [labels[k] for k in order], PALETTE,
+               "MAP vs pool size (MIRFLICKR scenario)")
+
+    fig.tight_layout()
+    out = os.path.join(RESULTS, "pool_tradeoff.png")
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
+def plot_refine_study():
+    with open(os.path.join(RESULTS, "refine_study.json")) as fh:
+        study = json.load(fh)
+
+    fig, (ax_t, ax_q) = plt.subplots(1, 2, figsize=(11, 4.2))
+
+    configs = list(study["map"].keys())  # fixed insertion order from the study
+    colors = PALETTE[: len(configs)]
+
+    # Timing: grouped horizontal bars per corpus, one hue per config (same
+    # hue carries the config into the MAP panel).
+    corpora = [("mirflickr25k", "25k"), ("corpus100k", "100k")]
+    height = 0.8 / len(configs)
+    for ci, (cfg, color) in enumerate(zip(configs, colors)):
+        ys, xs = [], []
+        for gi, (key, _) in enumerate(corpora):
+            rec = study["timing"][key]["configs"].get(cfg)
+            if rec is None:
+                continue
+            ys.append(gi + (ci - (len(configs) - 1) / 2) * height)
+            xs.append(rec["ms_per_round"])
+        bars = ax_t.barh(ys, xs, height=height * 0.9, color=color, label=cfg)
+        for bar, x in zip(bars, xs):
+            ax_t.annotate(f"{x:.2f}", (x, bar.get_y() + bar.get_height() / 2),
+                          textcoords="offset points", xytext=(4, 0),
+                          va="center", fontsize=8, color="#333")
+    max_ms = max(rec["ms_per_round"] for key, _ in corpora
+                 for rec in study["timing"][key]["configs"].values())
+    ax_t.set_xlim(0, max_ms * 1.18)  # headroom for the value labels
+    ax_t.set_yticks(range(len(corpora)))
+    ax_t.set_yticklabels([f"corpus {lbl}" for _, lbl in corpora])
+    ax_t.invert_yaxis()
+    ax_t.set_xlabel("selection ms/round (pipeline slope)")
+    ax_t.set_title("Two-stage scoring: coarse n_qmc + top-T refine")
+    ax_t.grid(True, alpha=0.3, axis="x")
+    ax_t.legend(frameon=False, fontsize=8)
+
+    _map_panel(ax_q, study["map"], configs, colors,
+               "MAP is config-insensitive (quality held)")
+
+    fig.tight_layout()
+    out = os.path.join(RESULTS, "refine_study.png")
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--only", choices=["pool", "refine"])
+    args = parser.parse_args(argv)
+    if args.only in (None, "pool"):
+        plot_pool_tradeoff()
+    if args.only in (None, "refine"):
+        plot_refine_study()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
