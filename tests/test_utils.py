@@ -5,43 +5,62 @@ import json
 import numpy as np
 
 
-def test_timer_last_vs_mean():
+class _FakeClock:
+    """Deterministic stand-in for time.perf_counter: each span lasts exactly
+    the next queued duration.  Real sleeps made these tests flaky under host
+    contention (a 2 ms sleep measured 74 ms while the full suite shared the
+    box with a chip job) — the semantics under test are purely which recorded
+    span each accessor reports, so the clock is the thing to fake."""
+
+    def __init__(self, durations_s):
+        self._pending = list(durations_s)
+        self._now = 0.0
+        self._in_span = False
+
+    def __call__(self) -> float:
+        # Called once on span enter and once on exit: advance on exit only.
+        if self._in_span:
+            self._now += self._pending.pop(0)
+        self._in_span = not self._in_span
+        return self._now
+
+
+def test_timer_last_vs_mean(monkeypatch):
     """Per-round JSONL rows carry the LAST span (Timer.last_ms), not the
     running mean — the round-2 953.9 ms confusion came from averaging a
     first-call compile round into every row (docs/PROFILE.md section 6)."""
-    import time
+    from ital_tpu.utils import logging as tlog
 
-    from ital_tpu.utils.logging import Timer
-
-    t = Timer()
+    monkeypatch.setattr(tlog.time, "perf_counter", _FakeClock([0.05, 0.005]))
+    t = tlog.Timer()
     with t.span("round"):
-        time.sleep(0.05)
+        pass  # 50 ms "compile" round per the fake clock
     with t.span("round"):
-        time.sleep(0.005)
-    assert t.last_ms("round") < 30  # the most recent (fast) round
-    assert t.ms("round") > t.last_ms("round")  # mean is dragged by the first
+        pass  # 5 ms steady round
+    assert abs(t.last_ms("round") - 5.0) < 1e-9  # the most recent (fast) round
+    assert abs(t.ms("round") - 27.5) < 1e-9  # mean is dragged by the first
     assert t.last_ms("missing") == 0.0 and t.ms("missing") == 0.0
 
 
-def test_timer_steady_median_excludes_first():
+def test_timer_steady_median_excludes_first(monkeypatch):
     """Steady-state medians (round 4): first_ms separates the compile round,
     median_ms skips it; with ONLY the first span recorded there is no steady
     measurement and median_ms reports None (code-review round 4: the old
     fallback relabeled the compile span as 'steady' — the exact pollution
     the field exists to prevent)."""
-    import time
+    from ital_tpu.utils import logging as tlog
 
-    from ital_tpu.utils.logging import Timer
-
-    t = Timer()
+    monkeypatch.setattr(tlog.time, "perf_counter",
+                        _FakeClock([0.05] + [0.002, 0.001, 0.002, 0.003]))
+    t = tlog.Timer()
     with t.span("round"):
-        time.sleep(0.05)  # "compile" round
+        pass  # "compile" round (50 ms per the fake clock)
     assert t.median_ms("round") is None  # only the compile span exists
     for _ in range(4):
         with t.span("round"):
-            time.sleep(0.002)
-    assert t.first_ms("round") > 30
-    assert t.median_ms("round") < 30  # first round excluded
+            pass
+    assert abs(t.first_ms("round") - 50.0) < 1e-9
+    assert abs(t.median_ms("round") - 2.0) < 1e-9  # first round excluded
     assert t.median_ms("missing") is None and t.first_ms("missing") == 0.0
 
 
