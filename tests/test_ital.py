@@ -412,6 +412,33 @@ def test_refined_coarse_base_recovers_high_nqmc_batch():
     np.testing.assert_array_equal(coarse_refined, accurate)
 
 
+def test_refined_coarse_base_inside_pool_recovers_high_nqmc_batch():
+    """The PRODUCTION combination (compact pool x two-stage): a coarse base
+    scan (n_qmc=8) over the pool plus top-10 refinement at 256 points
+    reproduces the pool's single-stage n_qmc=256 batch — the same
+    adaptive-sample-count recovery as the full-corpus analog above, composed
+    with the tractability restriction (scripts/pool_refine.py measures the
+    same combination's cost and MAP on the chip)."""
+    import jax
+
+    from ital_tpu.select.base import StrategyParams
+    from ital_tpu.select.ital import select_ital
+
+    ds, state = _warmed_state(n_per_class=20)
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.8), mistake_prob=jnp.asarray(0.1)
+    )
+    key = jax.random.PRNGKey(3)
+    accurate = np.asarray(
+        select_ital(state, 3, key, params, n_qmc=256, pool_size=25)
+    )
+    coarse_refined = np.asarray(
+        select_ital(state, 3, key, params, n_qmc=8, pool_size=25,
+                    refine_top=10, refine_n_qmc=256)
+    )
+    np.testing.assert_array_equal(coarse_refined, accurate)
+
+
 def test_pool_and_subsample_mutually_exclusive():
     import jax
     import pytest
