@@ -161,6 +161,12 @@ class RetrievalService:
     def create_session(self, **overrides) -> str:
         from ital_tpu.models.session import ActiveRetrieval
 
+        # Per-session strategy options layer over the service-level ones
+        # (e.g. one session opting into a pool_size or a higher refine_n_qmc;
+        # the reference passes these as per-learner ctor kwargs).  They are
+        # static compile-time options, so sessions with different kwargs get
+        # different compiled programs — the cohort endpoints group by them.
+        mkw_over = overrides.pop("method_kwargs", None)
         cfg = {**self.defaults, **{k: v for k, v in overrides.items()
                                    if v is not None}}
         sess = ActiveRetrieval(
@@ -170,7 +176,7 @@ class RetrievalService:
             cap=int(cfg["cap"]), strategy=str(cfg["strategy"]),
             label_prob=float(cfg["label_prob"]),
             mistake_prob=float(cfg["mistake_prob"]),
-            method_kwargs=self.method_kwargs,
+            method_kwargs={**self.method_kwargs, **(mkw_over or {})},
         )
         from ital_tpu.runner import DENSITY_STRATEGIES
 
@@ -241,9 +247,12 @@ class RetrievalService:
             # per length-scale — create_session), so it rides as an UNBATCHED
             # axis exactly like x.  Only a mixed group (with/without density,
             # or different construction length scales) falls back.
+            kw_groups = {tuple(sorted(s.method_kwargs.items()))
+                         for s in sessions}
             compatible = (
                 len({s.strategy_name for s in sessions}) == 1
                 and len({s.state.cap for s in sessions}) == 1
+                and len(kw_groups) == 1  # static options are compile-time
                 and _density_compatible(sessions)
             )
             if not compatible or len(sessions) == 1:
@@ -260,7 +269,8 @@ class RetrievalService:
             params_b = jax.tree.map(
                 lambda *ls: jnp.stack(ls), *[s.params for s in sessions]
             )
-            fn = self._batched_select(sessions[0].strategy_name, int(k))
+            fn = self._batched_select(sessions[0].strategy_name, int(k),
+                                      next(iter(kw_groups)))
             batches = np.asarray(fn(sts, jnp.stack(keys), params_b))
             return {sid: [int(i) for i in row]
                     for (sid, _, _), row in zip(entries, batches)}
@@ -268,13 +278,15 @@ class RetrievalService:
             for _, _, lock in entries:
                 lock.release()
 
-    def _batched_select(self, strategy: str, k: int):
+    def _batched_select(self, strategy: str, k: int, kw_items: tuple = ()):
         """Cached jitted stack -> vmapped strategy over the session axis
-        (the stack rides inside the compiled program — one dispatch)."""
+        (the stack rides inside the compiled program — one dispatch).
+        ``kw_items`` is the group's sorted static-strategy-kwarg tuple — part
+        of the compiled program, hence of the cache key."""
         import jax
         import jax.numpy as jnp
 
-        key = (strategy, k)
+        key = (strategy, k, kw_items)
         fn = self._batched_select_cache.get(key)
         if fn is None:
             from ital_tpu.models.gp import GPHyper, GPState
@@ -289,8 +301,7 @@ class RetrievalService:
 
             select = get_strategy(strategy)
             sig = inspect.signature(select)
-            kw = {n: v for n, v in self.method_kwargs.items()
-                  if n in sig.parameters}
+            kw = {n: v for n, v in kw_items if n in sig.parameters}
             select_v = jax.vmap(
                 lambda st, kk, pp: select(st, k, kk, pp, **kw),
                 in_axes=(axes_state, 0, 0),
@@ -492,21 +503,32 @@ class RetrievalService:
 
         from ital_tpu.utils import checkpoint as ckpt
 
+        import json as _json
+
         sess, lock = self._entry(sid)
         with lock:
             state = sess.state
             q = -1 if sess.query is None else int(sess.query)
+            mkw = dict(sess.method_kwargs)
         with tempfile.TemporaryDirectory() as d:
             p = os.path.join(d, "session.npz")
-            ckpt.save_session(p, state, extra={"query": np.asarray(q)})
+            ckpt.save_session(p, state, extra={
+                "query": np.asarray(q),
+                # The session's EFFECTIVE static strategy options (service
+                # defaults already merged in) — without them a restore onto a
+                # server with different [METHOD] defaults would silently
+                # change the session's selection behavior.
+                "method_kwargs": np.asarray(_json.dumps(mkw)),
+            })
             with open(p, "rb") as fh:
                 return fh.read()
 
     def restore(self, blob: bytes) -> str:
         """Recreate a session from :meth:`snapshot` bytes (same corpus).
 
-        The capacity is taken from the snapshot so it restores against any
-        server defaults; strategy/user-model come from the server defaults.
+        The capacity and the static strategy options (method_kwargs) are
+        taken from the snapshot so it restores against any server defaults;
+        strategy/user-model come from the server defaults.
         """
         import io
         import os
@@ -526,6 +548,13 @@ class RetrievalService:
             sess.state = state
             q = int(extra["query"]) if "query" in extra else -1
             sess.query = None if q < 0 else q
+            if "method_kwargs" in extra:
+                # Restore the snapshot's effective options verbatim (they
+                # replace, not merge: the snapshot already holds the merge
+                # that was in force when it was taken).
+                import json as _json
+
+                sess.method_kwargs = _json.loads(str(extra["method_kwargs"]))
             if state.density is not None:
                 # The restored density may have been built at a DIFFERENT
                 # length-scale than this server's default (create_session
@@ -614,6 +643,7 @@ class _Handler(BaseHTTPRequestHandler):
                 mistake_prob=body.get("mistake_prob"),
                 length_scale=body.get("length_scale"),
                 var=body.get("var"), noise=body.get("noise"),
+                method_kwargs=body.get("method_kwargs"),
             )
             return self._json(200, {"session_id": sid})
         m = _SESSION_RE.match(path)

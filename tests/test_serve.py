@@ -275,9 +275,9 @@ def test_batch_select_density_sessions_batch():
     calls = []
     orig = svc._batched_select
 
-    def spy(strategy, k):
+    def spy(strategy, k, kw_items=()):
         calls.append((strategy, k))
-        return orig(strategy, k)
+        return orig(strategy, k, kw_items)
 
     svc._batched_select = spy
     assert svc.next_batch_many(sids, 3) == singles
@@ -417,9 +417,9 @@ def test_restored_density_session_excluded_from_cohort():
     calls = []
     orig = svc._batched_select
 
-    def spy(strategy, k):
+    def spy(strategy, k, kw_items=()):
         calls.append((strategy, k))
-        return orig(strategy, k)
+        return orig(strategy, k, kw_items)
 
     svc._batched_select = spy
     assert svc.next_batch_many([s_restored, s2], 3) == singles
@@ -479,6 +479,90 @@ def test_service_method_kwargs_reach_selection():
     sid_r = svc.create_session(strategy="random")
     svc.set_query(sid_r, 3)
     assert len(svc.next_batch(sid_r, 3)) == 3
+
+
+def test_per_session_method_kwargs():
+    """Per-session static strategy options (``create_session(method_kwargs=…)``
+    / the POST /sessions ``method_kwargs`` body field) layer over the
+    service-level [METHOD] defaults; the cohort endpoint batches only
+    same-kwargs groups (the options are part of the compiled program) and a
+    snapshot/restore round-trip preserves the session's effective options."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(3, 6)) * 4
+    x = np.concatenate([c + rng.normal(size=(40, 6)) for c in centers])
+    svc = RetrievalService(
+        x.astype(np.float32), length_scale=2.5, noise=0.1, cap=32,
+        strategy="ital", label_prob=0.9, mistake_prob=0.05,
+        method_kwargs={"n_qmc": 32},
+    )
+    s_default = svc.create_session()
+    s_pool = svc.create_session(method_kwargs={"pool_size": 16})
+    s_pool2 = svc.create_session(method_kwargs={"pool_size": 16})
+    for sid, q in ((s_default, 3), (s_pool, 47), (s_pool2, 47)):
+        svc.set_query(sid, q)
+        svc.feedback(sid, {"14": 1, "63": -1})
+
+    # The override merged over the service default (n_qmc stays).
+    sess_p, _ = svc._entry(s_pool)
+    assert sess_p.method_kwargs == {"n_qmc": 32, "pool_size": 16}
+
+    # The pool restriction is actually in force for the pool session only.
+    from ital_tpu.select.ital import candidate_pool_indices
+
+    picks = svc.next_batch(s_pool, 3)
+    pool, _ = candidate_pool_indices(sess_p.state, sess_p.state.mu, 16)
+    assert set(picks) <= {int(i) for i in np.asarray(pool)}
+
+    # Mixed-kwargs group falls back per-session; same-kwargs group batches.
+    calls = []
+    orig = svc._batched_select
+
+    def spy(strategy, k, kw_items=()):
+        calls.append(kw_items)
+        return orig(strategy, k, kw_items)
+
+    svc._batched_select = spy
+    svc.next_batch_many([s_default, s_pool], 3)
+    assert calls == []  # incompatible: no batched program
+    for sid in (s_pool, s_pool2):
+        s, _ = svc._entry(sid)
+        s._key = jax.random.PRNGKey(7)
+    singles = {sid: svc.next_batch(sid, 3) for sid in (s_pool, s_pool2)}
+    for sid in (s_pool, s_pool2):
+        s, _ = svc._entry(sid)
+        s._key = jax.random.PRNGKey(7)
+    grouped = svc.next_batch_many([s_pool, s_pool2], 3)
+    assert grouped == singles
+    assert calls == [(("n_qmc", 32), ("pool_size", 16))]
+    svc._batched_select = orig
+
+    # Snapshot/restore preserves the session's effective options even when
+    # the restoring service has different [METHOD] defaults.
+    blob = svc.snapshot(s_pool)
+    svc2 = RetrievalService(
+        x.astype(np.float32), length_scale=2.5, noise=0.1, cap=32,
+        strategy="ital", label_prob=0.9, mistake_prob=0.05,
+        method_kwargs={"n_qmc": 128},
+    )
+    s_restored = svc2.restore(blob)
+    sess_r, _ = svc2._entry(s_restored)
+    assert sess_r.method_kwargs == {"n_qmc": 32, "pool_size": 16}
+
+
+def test_http_session_method_kwargs(server):
+    """POST /sessions accepts method_kwargs and the session runs under them."""
+    code, r = _req(f"{server}/sessions", "POST",
+                   {"method_kwargs": {"n_qmc": 32, "pool_size": 12}})
+    assert code == 200
+    sid = r["session_id"]
+    code, _ = _req(f"{server}/sessions/{sid}/query", "POST", {"index": 5})
+    assert code == 200
+    code, b = _req(f"{server}/sessions/{sid}/batch?k=3")
+    assert code == 200 and len(b["batch"]) == 3
+    code, _ = _req(f"{server}/sessions/{sid}", "DELETE")
+    assert code == 200
 
 
 def test_batch_select_duplicate_ids_no_deadlock(server):
