@@ -8,11 +8,14 @@ Checked-in generator (the round-3 verdict flagged figures without one):
   ``results/pool_tradeoff.json`` (quality: 8-seed MAP curves per pool).
 - ``results/refine_study.png`` from ``results/refine_study.json`` (two-stage
   scoring: coarse-scan n_qmc + top-T refinement — timing and 8-seed MAP).
+- ``results/pool_refine.png`` from ``results/pool_refine.json`` (the COMBINED
+  production config: compact pool x two-stage — timing anchors and the paired
+  8-seed MAP comparison at standard and heavy user noise).
 
-Both figures pair the speed panel with the quality panel so the knob's
+Each figure pairs the speed panel with the quality panel so the knob's
 tradeoff is one glance. Usage::
 
-    python scripts/plot_studies.py            # writes both PNGs
+    python scripts/plot_studies.py            # writes every PNG whose record exists
     python scripts/plot_studies.py --only pool
 """
 
@@ -146,14 +149,110 @@ def plot_refine_study():
     print(f"wrote {out}")
 
 
+def plot_pool_refine():
+    with open(os.path.join(RESULTS, "pool_refine.json")) as fh:
+        study = json.load(fh)
+
+    fig, (ax_t, ax_q) = plt.subplots(1, 2, figsize=(12, 4.4))
+
+    # Timing: grouped horizontal bars per corpus — the combined config read
+    # against its single-lever anchors, all measured in one chip session.
+    configs = list(study["timing"]["mirflickr25k"]["configs"])
+    colors = PALETTE[: len(configs)]
+    corpora = [(k, l) for k, l in (("mirflickr25k", "25k"),
+                                   ("corpus100k", "100k"))
+               if k in study["timing"]]
+    height = 0.8 / len(configs)
+    for ci, (cfg, color) in enumerate(zip(configs, colors)):
+        ys, xs = [], []
+        for gi, (key, _) in enumerate(corpora):
+            rec = study["timing"][key]["configs"].get(cfg)
+            if rec is None:
+                continue
+            ys.append(gi + (ci - (len(configs) - 1) / 2) * height)
+            xs.append(rec["ms_per_round"])
+        bars = ax_t.barh(ys, xs, height=height * 0.9, color=color, label=cfg)
+        for bar, x in zip(bars, xs):
+            ax_t.annotate(f"{x:.2f}", (x, bar.get_y() + bar.get_height() / 2),
+                          textcoords="offset points", xytext=(4, 0),
+                          va="center", fontsize=8, color="#333")
+    max_ms = max(rec["ms_per_round"] for key, _ in corpora
+                 for rec in study["timing"][key]["configs"].values())
+    ax_t.set_xlim(0, max_ms * 1.18)
+    ax_t.set_yticks(range(len(corpora)))
+    ax_t.set_yticklabels([f"corpus {lbl}" for _, lbl in corpora])
+    ax_t.invert_yaxis()
+    ax_t.set_xlabel("selection ms/round (pipeline slope)")
+    ax_t.set_title("Pool x two-stage: combined vs single-lever anchors")
+    ax_t.grid(True, alpha=0.3, axis="x")
+    ax_t.legend(frameon=False, fontsize=8)
+
+    # Quality: the combined config vs the full-fidelity reference config,
+    # both noise regimes on one panel (solid = standard, dashed = heavy).
+    drawn = False
+    for key, suffix, dash in (("map", " (standard)", "-"),
+                              ("map_heavy", " (heavy noise)", "--")):
+        block = study.get(key)
+        if not block:
+            continue
+        names = [n for n in block if n != "paired"]
+        for name, color in zip(names, PALETTE):
+            rec = block[name]
+            curve = rec["map"]
+            rounds = list(range(1, len(curve) + 1))
+            ax_q.plot(rounds, curve, dash, marker="o", markersize=3,
+                      color=color, linewidth=2, label=name + suffix)
+            std = rec.get("map_std")
+            if std:
+                lo = [m - s for m, s in zip(curve, std)]
+                hi = [m + s for m, s in zip(curve, std)]
+                ax_q.fill_between(rounds, lo, hi, color=color, alpha=0.12,
+                                  linewidth=0)
+        drawn = True
+        paired = block.get("paired")
+        if paired:
+            y = 0.03 if key == "map" else 0.10
+            ax_q.text(0.02, y,
+                      f"{suffix.strip(' ()')}: paired Δ "
+                      f"{paired['delta_mean']:+.4f}, "
+                      f"{paired['wins']}/{len(paired['delta_by_seed'])} wins, "
+                      f"t={paired['t_stat']:.2f}",
+                      transform=ax_q.transAxes, fontsize=8, color="#333")
+    if drawn:
+        n_seeds = len(next(iter(study.get("map", study.get("map_heavy"))
+                                .values()))["seeds"])
+        ax_q.set_xlabel("feedback round")
+        ax_q.set_ylabel(f"MAP (mean of {n_seeds} seeds, band = ±1 std)")
+        ax_q.set_title("Combined config holds MAP in both noise regimes")
+        ax_q.grid(True, alpha=0.3)
+        ax_q.legend(frameon=False, fontsize=8)
+    else:
+        ax_q.set_axis_off()
+        ax_q.text(0.5, 0.5, "no MAP block recorded yet\n"
+                  "(scripts/pool_refine.py --map --map-heavy)",
+                  ha="center", va="center", fontsize=9, color="#666")
+
+    fig.tight_layout()
+    out = os.path.join(RESULTS, "pool_refine.png")
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--only", choices=["pool", "refine"])
+    parser.add_argument("--only", choices=["pool", "refine", "pool_refine"])
     args = parser.parse_args(argv)
     if args.only in (None, "pool"):
         plot_pool_tradeoff()
     if args.only in (None, "refine"):
         plot_refine_study()
+    if args.only in (None, "pool_refine"):
+        if os.path.exists(os.path.join(RESULTS, "pool_refine.json")):
+            plot_pool_refine()
+        elif args.only == "pool_refine":
+            print("results/pool_refine.json not recorded yet "
+                  "(scripts/pool_refine.py)", file=sys.stderr)
+            return 1
     return 0
 
 
