@@ -92,8 +92,18 @@ class ActiveRetrieval:
         self.strategy_name = strategy
         # Static per-strategy options (the reference passes these as ctor
         # kwargs too — e.g. ITAL's tractability/accuracy knobs n_qmc,
-        # pool_size, subsample_size, refine_top, refine_n_qmc).
+        # pool_size, subsample_size, refine_top, refine_n_qmc).  They become
+        # part of the jit cache key, so values must be hashable scalars —
+        # fail here with a clear message instead of a TypeError at the first
+        # fetch_unlabelled (the HTTP surface feeds raw JSON into this dict).
         self.method_kwargs = dict(method_kwargs or {})
+        for name, v in self.method_kwargs.items():
+            if not isinstance(v, (int, float, bool, str, type(None))):
+                raise TypeError(
+                    f"method_kwargs[{name!r}] must be a scalar "
+                    f"(int/float/bool/str/None), got {type(v).__name__}: "
+                    f"these are static compile-time options"
+                )
         get_strategy(strategy)  # fail fast on unknown strategy names
         self.params = StrategyParams(
             label_prob=jnp.asarray(label_prob),

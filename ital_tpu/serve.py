@@ -599,7 +599,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._route(method, path, qs)
         except NotFound as e:
             self._json(404, {"error": str(e)})
-        except (KeyError, ValueError, json.JSONDecodeError) as e:
+        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
             # Missing body fields / unknown strategy names are the CLIENT's
             # error on an existing resource -> 400, not 404.
             self._json(400, {"error": f"bad request: {e}"})

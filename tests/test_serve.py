@@ -565,6 +565,17 @@ def test_http_session_method_kwargs(server):
     assert code == 200
 
 
+def test_http_session_method_kwargs_non_scalar_rejected(server):
+    """Non-scalar method_kwargs values (raw JSON lists/objects) are the
+    client's error: 400 at session creation, not a TypeError at the first
+    /batch dispatch (the options are jit cache keys, so they must be
+    hashable scalars)."""
+    code, r = _req(f"{server}/sessions", "POST",
+                   {"method_kwargs": {"pool_size": [16, 32]}})
+    assert code == 400
+    assert "scalar" in r["error"]
+
+
 def test_batch_select_duplicate_ids_no_deadlock(server):
     """Duplicate session ids in the group must not re-acquire the same
     per-session lock (code-review round 3: reproduced permanent deadlock)."""

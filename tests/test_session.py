@@ -135,3 +135,18 @@ def test_session_learn_hyperparams():
     assert np.isfinite(after).all() and not np.allclose(after, before)
     # Labeled signs are still respected by the refit posterior.
     assert after[10] > after[20] and after[50] > after[40]
+
+
+def test_method_kwargs_non_scalar_fails_fast():
+    """Static strategy options are jit cache keys; a list/dict value must be
+    rejected at construction with a clear message, not a TypeError at the
+    first fetch_unlabelled."""
+    import numpy as np
+    import pytest
+
+    from ital_tpu.models.session import ActiveRetrieval
+
+    x = np.random.default_rng(0).normal(size=(40, 4)).astype(np.float32)
+    with pytest.raises(TypeError, match="scalar"):
+        ActiveRetrieval(x, length_scale=1.0, cap=16,
+                        method_kwargs={"pool_size": [16, 32]})
