@@ -176,14 +176,29 @@ def main() -> int:
         with open(out_path) as fh:
             report = json.load(fh)
     seeds = [int(s) for s in args.seeds.split(",")]
+    # Completed sections land in the .partial file as they finish (an hour of
+    # chip work must survive a mid-run tunnel drop); the final path doubles
+    # as the retry-supervisor's completion marker, so it is written only at
+    # the end.
+    partial = out_path.replace(".json", ".partial.json")
+
+    def _checkpoint():
+        with open(partial, "w") as fh:
+            json.dump(report, fh, indent=1)
+
     if not args.skip_timing:
         report["timing"] = run_timing(args.skip_100k)
+        _checkpoint()
     if args.map:
         report["map"] = run_map(seeds)
+        _checkpoint()
     if args.map_heavy:
         report["map_heavy"] = run_map(seeds, heavy=True)
+        _checkpoint()
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1)
+    if os.path.exists(partial):
+        os.remove(partial)
     print(f"wrote {out_path}", flush=True)
     return 0
 
