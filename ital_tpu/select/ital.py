@@ -125,6 +125,7 @@ def mi_scores_from_moments(
     t: int,
     n_qmc: int = 128,
     block: int = 1024,
+    shift: jax.Array | None = None,
 ) -> jax.Array:
     """MI of appending each candidate to the partial batch, from posterior moments.
 
@@ -136,6 +137,10 @@ def mi_scores_from_moments(
       mu_cand/sig2_cand: (Nc,) candidate posterior mean / (jittered) variance.
       cross: (Nc, t) posterior covariance candidate<->batch members.
       mu_b: (t,) batch posterior mean; cov_bb: (t, t) jittered batch covariance.
+      shift: optional (t,) Cranley-Patterson lattice shift in [0,1), shared by
+        every candidate (randomized QMC — see :func:`select_ital` ``qmc_key``).
+        ``None`` (production default) uses the deterministic unshifted lattice;
+        a zero shift is bit-identical to ``None``.
     """
     m = t + 1
     pfr = feedback_given_relevance(m, params.label_prob, params.mistake_prob)
@@ -158,7 +163,8 @@ def mi_scores_from_moments(
         # VMEM and the transcendental saving shows up end-to-end: 2.1x faster
         # per selection round on v5e, identical selected batches (the
         # estimator is identical to fp tolerance — tests/test_mvn.py).
-        p_r = orthant_probs_all_configs_tree(mu, chol, n_points=n_qmc)
+        p_r = orthant_probs_all_configs_tree(mu, chol, n_points=n_qmc,
+                                             shift=shift)
         return mutual_information_from_relevance(p_r, pfr)
 
     # Stream the candidate axis in fixed-size blocks: the QMC chain's
@@ -245,6 +251,7 @@ def refined_pick(
     t: int,
     refine_top: int,
     refine_n_qmc: int,
+    shift: jax.Array | None = None,
 ) -> jax.Array:
     """Two-stage greedy pick: re-score the top candidates at higher accuracy.
 
@@ -281,6 +288,7 @@ def refined_pick(
         params,
         t=t,
         n_qmc=refine_n_qmc,
+        shift=shift,
     )
     # Slots whose base score was -inf are ineligible (only reachable when
     # refine_top exceeds the number of selectable candidates).
@@ -295,6 +303,7 @@ def score_candidates_mi(
     params: StrategyParams,
     *,
     n_qmc: int = 128,
+    shift: jax.Array | None = None,
 ) -> jax.Array:
     """(N,) mutual information of appending each corpus point to ``batch[:t]``.
 
@@ -304,7 +313,8 @@ def score_candidates_mi(
     """
     mu_b, cov_bb, cross, sig2 = _joint_posterior(state, batch, t, params.jitter)
     return mi_scores_from_moments(
-        state.mu, sig2, cross, mu_b, cov_bb, params, t=t, n_qmc=n_qmc
+        state.mu, sig2, cross, mu_b, cov_bb, params, t=t, n_qmc=n_qmc,
+        shift=shift,
     )
 
 
@@ -339,6 +349,23 @@ def candidate_pool_indices(
     return pool_idx.astype(jnp.int32), ~jnp.isfinite(vals)
 
 
+def _step_shift(
+    qmc_key: jax.Array | None, t: int, dtype
+) -> jax.Array | None:
+    """Per-greedy-step Cranley-Patterson shift, or None for the fixed lattice.
+
+    Randomized-QMC selection (``select_ital`` ``qmc_key``): greedy step ``t``
+    scores (t+1)-dimensional batches, so the lattice has ``t`` sampled
+    dimensions; each step gets an independent shift via ``fold_in`` so no two
+    steps (or rounds, when callers fold a round index into the key) reuse a
+    lattice.  At ``t = 0`` the orthant is univariate/closed-form — the empty
+    shift is returned only for shape consistency.
+    """
+    if qmc_key is None:
+        return None
+    return jax.random.uniform(jax.random.fold_in(qmc_key, t), (t,), dtype)
+
+
 def _select_ital_pool(
     state: GPState,
     batch_size: int,
@@ -350,6 +377,7 @@ def _select_ital_pool(
     block: int = 1024,
     refine_top: int = 0,
     refine_n_qmc: int = 512,
+    qmc_key: jax.Array | None = None,
 ) -> jax.Array:
     """Greedy ITAL over a COMPACT candidate pool — cost scales with the pool.
 
@@ -374,6 +402,7 @@ def _select_ital_pool(
     forbid = pool_forbid
     neg = jnp.asarray(-jnp.inf, dt)
     for t in range(batch_size):
+        shift = _step_shift(qmc_key, t, dt)
         bsel = batch[:t]
         mu_b = state.mu[bsel]
         _, cov_bb = gp_predict_full(state, bsel)
@@ -388,14 +417,14 @@ def _select_ital_pool(
             cross = jnp.zeros((pool_idx.shape[0], 0), dt)
         scores = mi_scores_from_moments(
             mu_pool, sig2_pool, cross, mu_b, cov_bb, params,
-            t=t, n_qmc=n_qmc, block=block,
+            t=t, n_qmc=n_qmc, block=block, shift=shift,
         )
         scores = jnp.where(forbid, neg, scores)
         if refine_top:
             p = refined_pick(
                 scores, mu_pool, sig2_pool, cross, mu_b, cov_bb, params,
                 t=t, refine_top=min(refine_top, pool_idx.shape[0]),
-                refine_n_qmc=refine_n_qmc,
+                refine_n_qmc=refine_n_qmc, shift=shift,
             )
         else:
             p = jnp.argmax(scores)
@@ -416,6 +445,7 @@ def select_ital(
     subsample_size: int = 0,
     refine_top: int = 0,
     refine_n_qmc: int = 512,
+    qmc_key: jax.Array | None = None,
 ) -> jax.Array:
     """Greedy ITAL batch construction (reference ``ITAL.fetch_unlabelled``).
 
@@ -442,6 +472,21 @@ def select_ital(
     sample count.  Pairing a reduced base ``n_qmc`` with refinement cuts the
     O(N)-dominant transcendental cost while the decision itself is made at
     full accuracy (measured: docs/PROFILE.md section 8).
+
+    ``qmc_key`` (default ``None``) enables RANDOMIZED-QMC selection: each
+    greedy step's orthant lattice gets an independent Cranley-Patterson shift
+    derived from the key (:func:`_step_shift`) — the randomization MVNDST
+    applies internally (SURVEY.md section 2.2 N3), surfaced as a selection
+    knob.  Per-round cost is identical to the fixed lattice (one vector
+    add+mod on the lattice); results are an equally valid MI estimate but NOT
+    bit-identical to the deterministic default, so goldens/determinism keep
+    ``None``.  Two uses: (a) de-biasing the fixed-lattice estimator across
+    rounds (fold the round index into the key), and (b) making per-round work
+    key-dependent where rounds stream under one ``lax.scan`` over a FROZEN
+    state — with the deterministic lattice such rounds are loop-invariant and
+    XLA hoists the entire selection out of the loop (measured: bench.py's
+    protocol note); production sessions evolve the state every round and are
+    immune.
     """
     if batch_size > MAX_MI_BATCH:
         raise ValueError(
@@ -473,7 +518,8 @@ def select_ital(
         if not refine_top:
             return greedy_argmax_batch(
                 lambda batch, t: score_candidates_mi(
-                    state, batch, t, params, n_qmc=n_qmc
+                    state, batch, t, params, n_qmc=n_qmc,
+                    shift=_step_shift(qmc_key, t, state.mu.dtype),
                 ),
                 state,
                 batch_size,
@@ -488,22 +534,24 @@ def select_ital(
         batch = jnp.zeros((batch_size,), jnp.int32)
         neg = jnp.asarray(-jnp.inf, state.mu.dtype)
         for t in range(batch_size):
+            shift = _step_shift(qmc_key, t, state.mu.dtype)
             mu_b, cov_bb, cross, sig2 = _joint_posterior(
                 state, batch, t, params.jitter
             )
             scores = mi_scores_from_moments(
-                state.mu, sig2, cross, mu_b, cov_bb, params, t=t, n_qmc=n_qmc
+                state.mu, sig2, cross, mu_b, cov_bb, params, t=t, n_qmc=n_qmc,
+                shift=shift,
             )
             scores = jnp.where(excluded, neg, scores)
             p = refined_pick(
                 scores, state.mu, sig2, cross, mu_b, cov_bb, params,
                 t=t, refine_top=min(refine_top, n),
-                refine_n_qmc=refine_n_qmc,
+                refine_n_qmc=refine_n_qmc, shift=shift,
             )
             batch = batch.at[t].set(p)
             excluded = excluded.at[p].set(True)
         return batch
     return _select_ital_pool(
         state, batch_size, params, pool_idx, pool_forbid, n_qmc=n_qmc,
-        refine_top=refine_top, refine_n_qmc=refine_n_qmc,
+        refine_top=refine_top, refine_n_qmc=refine_n_qmc, qmc_key=qmc_key,
     )

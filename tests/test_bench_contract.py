@@ -29,3 +29,96 @@ def test_recorded_denominator_matches_json():
     # timed, single-core total equals their sum (kernel build excluded).
     assert len(rec["step_s"]) == rec["batch_size"] == 4
     assert abs(sum(rec["step_s"]) - rec["full_round_single_core_s"]) < 1.0
+
+
+def _bench_like_state_and_params(n=300, d=8):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ital_tpu.models import gp as gp_mod
+    from ital_tpu.select.base import StrategyParams
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    state = gp_mod.gp_init(jnp.asarray(x), 2.0, 1.0, 0.1, 16)
+    idx, ys = [3, 10, 20, 30, 40], [1.0, 1.0, -1.0, 1.0, -1.0]
+    k = len(idx)
+    state = gp_mod.gp_fit(state.replace(
+        idx=state.idx.at[:k].set(jnp.asarray(idx, jnp.int32)),
+        y=state.y.at[:k].set(jnp.asarray(ys, jnp.float32)),
+        valid=state.valid.at[:k].set(True),
+        count=jnp.asarray(k, jnp.int32),
+    ))
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.8), mistake_prob=jnp.asarray(0.05)
+    )
+    return state, params
+
+
+def test_scanned_rounds_match_per_call():
+    """bench.time_tpu streams rounds under one lax.scan (one dispatch per
+    trial); the scanned rounds must select the same batches as per-call
+    dispatch with identical keys — the protocol amortizes dispatch, it must
+    not change the computation.  Both paths pass ``qmc_key=key`` exactly as
+    the bench does (the hoisting guard — see the companion test below)."""
+    import jax
+    import numpy as np
+
+    from ital_tpu.select.ital import select_ital
+
+    state, params = _bench_like_state_and_params()
+
+    def _round(st, key):
+        return st, select_ital(st, 4, key, params, n_qmc=32,
+                               refine_top=16, refine_n_qmc=64, qmc_key=key)
+
+    run = jax.jit(lambda st, keys: jax.lax.scan(_round, st, keys)[1])
+    keys = jax.random.split(jax.random.PRNGKey(0), 6)
+    scanned = np.asarray(run(state, keys))
+    sel1 = jax.jit(lambda st, kk: select_ital(st, 4, kk, params, n_qmc=32,
+                                              refine_top=16, refine_n_qmc=64,
+                                              qmc_key=kk))
+    singles = np.stack([np.asarray(sel1(state, kk)) for kk in keys])
+    np.testing.assert_array_equal(scanned, singles)
+
+
+def test_scan_not_hoisted_with_qmc_key():
+    """The hoisting guard itself: the bench scans SELECTION ONLY over a frozen
+    GP state, and without ``qmc_key`` the round is loop-invariant — XLA's
+    while-loop invariant code motion hoists the whole selection out of the
+    loop and total time goes FLAT in the number of rounds (measured; the
+    "per-round" figure would be total/reps, pure fiction).  With ``qmc_key``
+    each round's lattice shift is key-dependent, so work must stay inside the
+    loop: total time must scale with reps.  Expected ratio at 16x the rounds
+    is ~16 (hoisted: ~1); assert > 3 to stay far from both CI noise and the
+    failure mode."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from ital_tpu.select.ital import select_ital
+
+    state, params = _bench_like_state_and_params(n=1500, d=16)
+
+    def _round(st, key):
+        return st, select_ital(st, 4, key, params, n_qmc=32,
+                               refine_top=16, refine_n_qmc=64, qmc_key=key)
+
+    def total_seconds(reps: int) -> float:
+        run = jax.jit(lambda st, keys: jax.lax.scan(_round, st, keys)[1])
+        keys = jax.random.split(jax.random.PRNGKey(0), reps)
+        np.asarray(run(state, keys))  # compile + sync
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(state, keys))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    ratio = total_seconds(32) / total_seconds(2)
+    assert ratio > 3.0, (
+        f"scan total time is flat in reps (ratio {ratio:.2f}) — the "
+        f"selection was hoisted out of the loop; the bench protocol is "
+        f"measuring fiction"
+    )

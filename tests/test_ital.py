@@ -457,3 +457,66 @@ def test_pool_and_subsample_mutually_exclusive():
     with pytest.raises(ValueError, match="mutually exclusive"):
         select_ital(state, 2, jax.random.PRNGKey(0), params,
                     pool_size=8, subsample_size=8)
+
+
+def test_zero_shift_bit_identical_to_default(rng):
+    """A zero Cranley-Patterson shift must be BIT-identical to shift=None:
+    jnp.mod(w + 0, 1) == w exactly for lattice points in [0, 1), so the
+    qmc_key plumbing cannot disturb the deterministic production path."""
+    state, _ = _fitted_pair(rng)
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.8), mistake_prob=jnp.asarray(0.05)
+    )
+    for t in (0, 1, 2):
+        batch = jnp.zeros((3,), jnp.int32).at[0].set(11).at[1].set(22)
+        base = np.asarray(
+            score_candidates_mi(state, batch, t, params, n_qmc=64)
+        )
+        zeroed = np.asarray(
+            score_candidates_mi(state, batch, t, params, n_qmc=64,
+                                shift=jnp.zeros((t,), jnp.float32))
+        )
+        np.testing.assert_array_equal(base, zeroed)
+
+
+def test_qmc_key_selection_deterministic_and_valid(rng):
+    """Randomized-QMC selection (qmc_key): same key -> same batch, different
+    keys generally differ in scores (estimator randomization), and labeled
+    items are never selected — across all three dispatch paths (full scan,
+    refined full scan, compact pool)."""
+    state, _ = _fitted_pair(rng)
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.8), mistake_prob=jnp.asarray(0.05)
+    )
+    labeled = {3, 17, 29}
+    key = jax.random.PRNGKey(42)
+    for kwargs in (
+        {},  # full scan
+        {"refine_top": 8, "refine_n_qmc": 64},  # two-stage full scan
+        {"pool_size": 20},  # compact pool
+        {"subsample_size": 20, "refine_top": 8, "refine_n_qmc": 64},
+    ):
+        a = np.asarray(select_ital(state, 3, key, params, n_qmc=32,
+                                   qmc_key=key, **kwargs))
+        b = np.asarray(select_ital(state, 3, key, params, n_qmc=32,
+                                   qmc_key=key, **kwargs))
+        np.testing.assert_array_equal(a, b)
+        assert not (set(a.tolist()) & labeled), kwargs
+        assert len(set(a.tolist())) == 3, kwargs
+
+
+def test_qmc_key_selection_matches_oracle(rng):
+    """A randomly shifted lattice is an equally valid estimator: at n_qmc=256
+    the greedy selection under qmc_key still matches the exact-enumeration
+    oracle batch (deterministic given the fixed key)."""
+    state, ogp = _fitted_pair(rng, n=30)
+    params = StrategyParams(
+        label_prob=jnp.asarray(1.0), mistake_prob=jnp.asarray(0.0)
+    )
+    batch = np.asarray(
+        select_ital(state, 3, jax.random.PRNGKey(0), params, n_qmc=256,
+                    qmc_key=jax.random.PRNGKey(123))
+    )
+    candidates = [i for i in range(30) if i not in (3, 17, 29)]
+    ref_batch = oracle.ital_select(ogp, candidates, 3, 1.0, 0.0)
+    assert list(batch) == ref_batch
