@@ -134,6 +134,7 @@ def make_bigcap_round(
     refine_top: int = 0,
     refine_n_qmc: int = 512,
     recall_ks: tuple = (),
+    randomize_qmc: bool = False,
 ):
     """Per-round step for large-cap sharded sessions.
 
@@ -151,6 +152,7 @@ def make_bigcap_round(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
         subsample_size=subsample_size, defer_update=True,
         refine_top=refine_top, refine_n_qmc=refine_n_qmc,
+        randomize_qmc=randomize_qmc,
     )
     fit = make_bigcap_fit(mesh)
 

@@ -37,7 +37,7 @@ from ital_tpu.models import gp as gp_mod
 from ital_tpu.models.gp import GPState
 from ital_tpu.parallel.mesh import CORPUS_AXIS
 from ital_tpu.select.base import StrategyParams
-from ital_tpu.select.ital import mi_scores_from_moments
+from ital_tpu.select.ital import _step_shift, mi_scores_from_moments
 from ital_tpu.utils.metrics import average_precision, recall_at_k
 
 
@@ -174,8 +174,12 @@ def local_slot_mask(state: GPState, *, extra_forbid: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _sharded_ital_scores(state, batch, t, params, n_qmc):
-    """Local-shard MI scores for greedy step t — the sharded MI scan."""
+def _sharded_ital_scores(state, batch, t, params, n_qmc, shift=None):
+    """Local-shard MI scores for greedy step t — the sharded MI scan.
+
+    ``shift`` (replicated — every chip must score with the SAME lattice for
+    the collective argmax to agree) mirrors the single-device randomized-QMC
+    option (:func:`ital_tpu.select.ital.select_ital` ``qmc_key``)."""
     h = state.hyper
     from ital_tpu.ops.kernels import rbf_kernel
 
@@ -197,7 +201,7 @@ def _sharded_ital_scores(state, batch, t, params, n_qmc):
         cross = jnp.zeros((state.x.shape[0], 0), dt)
     return mi_scores_from_moments(
         state.mu, state.sig2 + params.jitter, cross, mu_b, cov_bb, params,
-        t=t, n_qmc=n_qmc,
+        t=t, n_qmc=n_qmc, shift=shift,
     )
 
 
@@ -210,6 +214,7 @@ def _sharded_refined_pick(
     forbid_local: jax.Array,
     refine_top: int,
     refine_n_qmc: int,
+    shift: jax.Array | None = None,
 ) -> jax.Array:
     """Two-stage greedy pick on the mesh — sharded mirror of
     :func:`ital_tpu.select.ital.refined_pick`.
@@ -249,7 +254,8 @@ def _sharded_refined_pick(
         cov_bb = jnp.zeros((0, 0), dt)
         cross = jnp.zeros((refine_top, 0), dt)
     refined = mi_scores_from_moments(
-        mu_c, sig2_c, cross, mu_b, cov_bb, params, t=t, n_qmc=refine_n_qmc
+        mu_c, sig2_c, cross, mu_b, cov_bb, params, t=t, n_qmc=refine_n_qmc,
+        shift=shift,
     )
     refined = jnp.where(top_forbid, -jnp.inf, refined)
     return top_gidx[jnp.argmax(refined)].astype(jnp.int32)
@@ -584,6 +590,7 @@ def _sharded_ital_pool_greedy(
     n_dev: int,
     refine_top: int = 0,
     refine_n_qmc: int = 512,
+    qmc_key: jax.Array | None = None,
 ) -> jax.Array:
     """Compact-pool greedy ITAL on the mesh — cost scales with the pool.
 
@@ -618,6 +625,9 @@ def _sharded_ital_pool_greedy(
     forbid = pool_forbid  # replicated (Pp,)
     neg = jnp.asarray(-jnp.inf, dt)
     for t in range(batch_size):
+        # Replicated shift (qmc_key is replicated): every chip's slice scores
+        # with the SAME randomized lattice, so the collective argmax agrees.
+        shift = _step_shift(qmc_key, t, dt)
         bsel = batch[:t]
         if t > 0:
             xb = gather_rows(state.x, bsel)  # (t, D) replicated
@@ -634,7 +644,8 @@ def _sharded_ital_pool_greedy(
             cov_bb = jnp.zeros((0, 0), dt)
             cross = jnp.zeros((pp, 0), dt)
         scores = mi_scores_from_moments(
-            mu_my, sig2_my, cross, mu_b, cov_bb, params, t=t, n_qmc=n_qmc
+            mu_my, sig2_my, cross, mu_b, cov_bb, params, t=t, n_qmc=n_qmc,
+            shift=shift,
         )
         scores = jnp.where(
             jax.lax.dynamic_slice(forbid, (start,), (pp,)), neg, scores
@@ -657,7 +668,7 @@ def _sharded_ital_pool_greedy(
                 cross_top = jnp.zeros((k_top, 0), dt)
             refined = mi_scores_from_moments(
                 mu_pool[top], sig2_pool[top], cross_top, mu_b, cov_bb,
-                params, t=t, n_qmc=refine_n_qmc,
+                params, t=t, n_qmc=refine_n_qmc, shift=shift,
             )
             refined = jnp.where(jnp.isfinite(vals), refined, neg)
             win = top[jnp.argmax(refined)].astype(jnp.int32)
@@ -761,7 +772,7 @@ def _check_mi_batch(strategy: str, batch_size: int) -> None:
 
 def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
                      *, subsample_size=0, defer_update=False,
-                     refine_top=0, refine_n_qmc=512):
+                     refine_top=0, refine_n_qmc=512, randomize_qmc=False):
     """The shard-local feedback-round body shared by the per-round and
     fused-session entry points (call only inside ``shard_map``).
 
@@ -769,7 +780,13 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
     ``(batch, y, valid)`` (all replicated) instead of updating the GP — the
     large-cap path (:mod:`ital_tpu.parallel.bigcap`) absorbs the labels with a
     distributed chol2d refit outside this shard_map, since its ``l`` factor is
-    row-sharded rather than replicated."""
+    row-sharded rather than replicated.
+
+    ``randomize_qmc=True`` (ITAL only) applies per-greedy-step
+    Cranley-Patterson lattice shifts derived from the round's selection key —
+    the sharded mirror of ``select_ital(qmc_key=k_sel)``, picking the
+    identical batch (the key is replicated, so every chip shifts the same
+    way; tested in tests/test_sharded.py)."""
 
     n_dev = mesh.size
 
@@ -805,6 +822,7 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
             batch = _sharded_ital_pool_greedy(
                 state, params, pool_gidx, pool_forbid, batch_size, n_qmc,
                 n_dev, refine_top=refine_top, refine_n_qmc=refine_n_qmc,
+                qmc_key=k_sel if randomize_qmc else None,
             )
             return _finish_round(state, k_user, batch, relevant, ap_exclude,
                                  params)
@@ -828,7 +846,11 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
 
         for t in range(batch_size):
             if strategy == "ital":
-                scores = _sharded_ital_scores(state, batch, t, params, n_qmc)
+                qmc_shift = _step_shift(
+                    k_sel if randomize_qmc else None, t, state.mu.dtype
+                )
+                scores = _sharded_ital_scores(state, batch, t, params, n_qmc,
+                                              shift=qmc_shift)
             elif strategy == "ital_regression":
                 scores = _sharded_regression_scores(state, batch, t, params)
             elif strategy == "emoc":
@@ -853,6 +875,7 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
                 nxt = _sharded_refined_pick(
                     state, batch, t, params, scores, forbid,
                     min(refine_top, shard_n * n_dev), refine_n_qmc,
+                    shift=qmc_shift,
                 )
             else:
                 nxt = global_argmax(scores)
@@ -920,6 +943,7 @@ def make_sharded_round(
     refine_top: int = 0,
     refine_n_qmc: int = 512,
     recall_ks: tuple = (),
+    randomize_qmc: bool = False,
 ):
     """Build the jitted sharded feedback-round step.
 
@@ -936,7 +960,8 @@ def make_sharded_round(
     _round = _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size,
                               recall_ks, subsample_size=subsample_size,
                               refine_top=refine_top,
-                              refine_n_qmc=refine_n_qmc)
+                              refine_n_qmc=refine_n_qmc,
+                              randomize_qmc=randomize_qmc)
 
     def wrapped(state, key, relevant, sel_forbid, ap_exclude, params):
         specs = state_pspecs(state)
@@ -964,6 +989,7 @@ def make_sharded_session(
     refine_top: int = 0,
     refine_n_qmc: int = 512,
     learn=None,
+    randomize_qmc: bool = False,
 ):
     """Whole SESSION fused on the mesh: all ``n_rounds`` in one device program.
 
@@ -988,6 +1014,7 @@ def make_sharded_session(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=(),
         subsample_size=subsample_size,
         refine_top=refine_top, refine_n_qmc=refine_n_qmc,
+        randomize_qmc=randomize_qmc,
     )
     _session = _fused_session_body(inner_round, n_rounds, learn=learn)
 
@@ -1109,6 +1136,7 @@ def make_sharded_cohort(
     refine_top: int = 0,
     refine_n_qmc: int = 512,
     learn=None,
+    randomize_qmc: bool = False,
 ):
     """COHORT of fused sessions on the mesh: ``query_batch`` retrieval sessions,
     each running ALL ``n_rounds`` of feedback, in ONE device program.
@@ -1132,6 +1160,7 @@ def make_sharded_cohort(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=(),
         subsample_size=subsample_size,
         refine_top=refine_top, refine_n_qmc=refine_n_qmc,
+        randomize_qmc=randomize_qmc,
     )
     axes = _cohort_state_axes(learn=bool(learn and learn.every))
     _cohort_local = jax.vmap(

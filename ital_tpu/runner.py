@@ -708,6 +708,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
             refine_top=int(cfg.method_kwargs.get("refine_top", 0)),
             refine_n_qmc=int(cfg.method_kwargs.get("refine_n_qmc", 512)),
+            randomize_qmc=bool(cfg.method_kwargs.get("randomize_qmc", False)),
             learn=learn,
         )
         set_query_v = jax.jit(
@@ -796,6 +797,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
             refine_top=int(cfg.method_kwargs.get("refine_top", 0)),
             refine_n_qmc=int(cfg.method_kwargs.get("refine_n_qmc", 512)),
+            randomize_qmc=bool(cfg.method_kwargs.get("randomize_qmc", False)),
             learn=learn,
         )
     elif bigcap:
@@ -814,6 +816,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
             refine_top=int(cfg.method_kwargs.get("refine_top", 0)),
             refine_n_qmc=int(cfg.method_kwargs.get("refine_n_qmc", 512)),
+            randomize_qmc=bool(cfg.method_kwargs.get("randomize_qmc", False)),
             recall_ks=RECALL_KS,
         )
         bigcap_refit = make_bigcap_fit(mesh)
@@ -827,6 +830,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
             refine_top=int(cfg.method_kwargs.get("refine_top", 0)),
             refine_n_qmc=int(cfg.method_kwargs.get("refine_n_qmc", 512)),
+            randomize_qmc=bool(cfg.method_kwargs.get("randomize_qmc", False)),
             recall_ks=RECALL_KS,
         )
 

@@ -446,6 +446,7 @@ def select_ital(
     refine_top: int = 0,
     refine_n_qmc: int = 512,
     qmc_key: jax.Array | None = None,
+    randomize_qmc: bool = False,
 ) -> jax.Array:
     """Greedy ITAL batch construction (reference ``ITAL.fetch_unlabelled``).
 
@@ -487,6 +488,12 @@ def select_ital(
     XLA hoists the entire selection out of the loop (measured: bench.py's
     protocol note); production sessions evolve the state every round and are
     immune.
+
+    ``randomize_qmc=True`` is the config-friendly spelling (a static bool —
+    usable from ``[METHOD]`` ini keys / ``method_kwargs``, which forbid array
+    values): it derives ``qmc_key`` from the round's ``key``, matching the
+    sharded runner's ``randomize_qmc`` option exactly (both shift from the
+    selection key — tested).  An explicit ``qmc_key`` wins when both are set.
     """
     if batch_size > MAX_MI_BATCH:
         raise ValueError(
@@ -501,6 +508,8 @@ def select_ital(
             "pool_size and subsample_size are mutually exclusive candidate "
             "restrictions (reference ITAL applies one or the other)"
         )
+    if randomize_qmc and qmc_key is None:
+        qmc_key = key
 
     n = state.mu.shape[0]
     if subsample_size:

@@ -520,3 +520,22 @@ def test_qmc_key_selection_matches_oracle(rng):
     candidates = [i for i in range(30) if i not in (3, 17, 29)]
     ref_batch = oracle.ital_select(ogp, candidates, 3, 1.0, 0.0)
     assert list(batch) == ref_batch
+
+
+def test_nonzero_shift_changes_scores(rng):
+    """A keyed (nonzero) shift must actually move the QMC estimates — the
+    counterpart of the zero-shift bit-equality test, and the estimator-level
+    evidence behind the runner's randomize_qmc plumbing test."""
+    state, _ = _fitted_pair(rng)
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.8), mistake_prob=jnp.asarray(0.05)
+    )
+    from ital_tpu.select.ital import _step_shift
+
+    batch = jnp.zeros((2,), jnp.int32).at[0].set(11)
+    base = np.asarray(score_candidates_mi(state, batch, 1, params, n_qmc=8))
+    shifted = np.asarray(score_candidates_mi(
+        state, batch, 1, params, n_qmc=8,
+        shift=_step_shift(jax.random.PRNGKey(3), 1, jnp.float32),
+    ))
+    assert np.abs(shifted - base).max() > 1e-6

@@ -402,6 +402,59 @@ def test_vmapped_fused_cohort_matches_serial():
     np.testing.assert_allclose(combo["ap"], serial["ap"], atol=1e-5)
 
 
+def test_randomize_qmc_reaches_every_mode(monkeypatch):
+    """randomize_qmc=true rides method_kwargs into every execution mode.
+
+    The toy problem's MI gaps are decisive enough that the randomized lattice
+    rarely flips an argmax (curves can match the deterministic run exactly),
+    so curve inequality is NOT the assertion; instead spies verify the option
+    actually reaches the estimator: the registered strategy receives
+    ``randomize_qmc=True`` (serial + fused splat method_kwargs), and the
+    sharded round body derives per-step shifts from a non-None key.  The
+    estimator-level effect (shifted scores differ, selection still matches
+    the oracle) is pinned in tests/test_ital.py; exact sharded-vs-single
+    batch equality under qmc_key in tests/test_sharded.py.  Serial == fused
+    curves stay exact; serial vs sharded is bit-close only (f32 collective
+    reduction order — ~3e-3 even deterministically), hence the loose band."""
+    import dataclasses
+
+    from ital_tpu.parallel import sharded as sharded_mod
+    from ital_tpu.select import base as select_base
+
+    seen = {}
+    orig_sel = select_base.STRATEGIES["ital"]
+
+    def spy_sel(*a, **kw):
+        seen["randomize_qmc"] = kw.get("randomize_qmc", False)
+        return orig_sel(*a, **kw)
+
+    monkeypatch.setitem(select_base.STRATEGIES, "ital", spy_sel)
+    shift_keys = []
+    orig_shift = sharded_mod._step_shift
+
+    def spy_shift(k, t, dt):
+        shift_keys.append((t, k is not None))
+        return orig_shift(k, t, dt)
+
+    monkeypatch.setattr(sharded_mod, "_step_shift", spy_shift)
+
+    base = _toy_cfg(batch_size=2, n_rounds=3,
+                    user=UserConfig(label_prob=0.8, mistake_prob=0.1),
+                    method_kwargs=dict(n_qmc=8, randomize_qmc=True))
+    serial = run_experiment(base)
+    assert seen["randomize_qmc"] is True
+    seen.clear()
+    fused = run_experiment(dataclasses.replace(base, fused_sessions=True))
+    assert seen["randomize_qmc"] is True
+    np.testing.assert_allclose(fused["ap"], serial["ap"], atol=1e-5)
+
+    sharded = run_experiment(dataclasses.replace(base, mesh_devices=8))
+    assert any(flag for t, flag in shift_keys if t >= 1), (
+        "sharded round body never derived a keyed shift"
+    )
+    np.testing.assert_allclose(sharded["ap"], serial["ap"], atol=2e-2)
+
+
 def test_profile_dir_writes_trace(tmp_path):
     """profile_dir produces a jax.profiler trace (SURVEY section 5 tracing row)."""
     import os

@@ -382,6 +382,39 @@ def test_sharded_refined_pool_matches_single_device():
     np.testing.assert_array_equal(np.asarray(batch_m), np.asarray(batch_ref))
 
 
+def test_sharded_randomized_qmc_matches_single_device():
+    """randomize_qmc on the mesh == select_ital(qmc_key=k_sel) single-device:
+    the per-step Cranley-Patterson shifts derive from the replicated selection
+    key, so every chip scores with the same randomized lattice and the
+    collective argmax picks the identical batch.  A coarse base (n_qmc=16)
+    plus refinement exercises both scoring stages under the shift."""
+    ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = (
+        _divisible_setup()
+    )
+    state_s = _warmed_dense(state0, ds, query)
+    key = jax.random.PRNGKey(19)
+    k_sel, _ = jax.random.split(key)
+
+    for kwargs in (
+        {"n_qmc": 16},  # plain full scan
+        {"n_qmc": 16, "refine_top": 12, "refine_n_qmc": 64},  # two-stage
+        {"n_qmc": 16, "pool_size": 24, "refine_top": 8,
+         "refine_n_qmc": 64},  # compact pool + two-stage
+    ):
+        batch_ref = select_ital(state_s, 2, k_sel, params, qmc_key=k_sel,
+                                **kwargs)
+        round_fn = make_sharded_round(
+            mesh, strategy="ital", batch_size=2, randomize_qmc=True, **kwargs
+        )
+        _, batch_m, _, _ = round_fn(
+            shard_state(state_s, mesh), key, relevant, sel_forbid, ap_exclude,
+            params,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batch_m), np.asarray(batch_ref), err_msg=str(kwargs)
+        )
+
+
 def test_sharded_recall_logging():
     """The sharded round returns recall@k alongside AP (runner feature parity)."""
     ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = _setup()
