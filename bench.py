@@ -64,13 +64,22 @@ def _labeled_history(ds, rng):
     return idx, ys
 
 
-def time_tpu(ds, idx, ys) -> float:
-    import jax
+def select_kwargs() -> dict:
+    """The production selection config of record (one copy — the probe and
+    the contract tests import this rather than re-listing the constants)."""
+    return dict(n_qmc=N_QMC, refine_top=REFINE_TOP, refine_n_qmc=REFINE_N_QMC)
+
+
+def build_state(ds, idx, ys):
+    """The benchmark GP state of record: seed-7 mid-session labeled history
+    fitted on the full corpus.  One copy — time_tpu, main's CPU-comparison
+    pass, and scripts/scan_protocol_probe.py all build state THROUGH here so
+    the probe can never validate a different workload than the bench
+    measures (the drifting-copies failure mode of scripts/timing_protocol.py's
+    docstring)."""
     import jax.numpy as jnp
 
     from ital_tpu.models import gp as gp_mod
-    from ital_tpu.select.base import StrategyParams
-    from ital_tpu.select.ital import select_ital
 
     state = gp_mod.gp_init(jnp.asarray(ds.x), LS, VAR, NOISE, CAP)
     k = len(idx)
@@ -80,10 +89,42 @@ def time_tpu(ds, idx, ys) -> float:
         valid=state.valid.at[:k].set(True),
         count=jnp.asarray(k, jnp.int32),
     )
-    state = gp_mod.gp_fit(state)
-    params = StrategyParams(
+    return gp_mod.gp_fit(state)
+
+
+def bench_params():
+    import jax.numpy as jnp
+
+    from ital_tpu.select.base import StrategyParams
+
+    return StrategyParams(
         label_prob=jnp.asarray(LABEL_PROB), mistake_prob=jnp.asarray(MISTAKE_PROB)
     )
+
+
+def make_scan_run(params, *, keyed: bool = True):
+    """The scanned-rounds protocol body: jitted ``run(state, keys (R,2))`` of
+    R selection rounds under one lax.scan.  ``keyed=True`` is the production
+    protocol (per-round Cranley-Patterson shifts — the hoisting guard);
+    ``keyed=False`` exists ONLY so the probe can record the hoisted flat-total
+    evidence."""
+    import jax
+
+    from ital_tpu.select.ital import select_ital
+
+    def _round(st, key):
+        return st, select_ital(st, BATCH, key, params,
+                               qmc_key=key if keyed else None,
+                               **select_kwargs())
+
+    return jax.jit(lambda st, keys: jax.lax.scan(_round, st, keys)[1])
+
+
+def time_tpu(ds, idx, ys) -> float:
+    import jax
+
+    state = build_state(ds, idx, ys)
+    params = bench_params()
     # This TPU sits behind a tunnel with ~30 ms host-sync RTT and ~3 ms of
     # host dispatch cost per executed program, and block_until_ready does not
     # reliably wait on this backend.  Production streams rounds INSIDE one
@@ -109,14 +150,7 @@ def time_tpu(ds, idx, ys) -> float:
     # (scripts/timing_protocol.py) reads the same device time plus the
     # per-call dispatch floor (docs/PROFILE.md).
     reps = 64
-
-    def _round(st, key):
-        return st, select_ital(st, BATCH, key, params, n_qmc=N_QMC,
-                               refine_top=REFINE_TOP,
-                               refine_n_qmc=REFINE_N_QMC,
-                               qmc_key=key)
-
-    run = jax.jit(lambda st, keys: jax.lax.scan(_round, st, keys)[1])
+    run = make_scan_run(params)
     key = jax.random.PRNGKey(0)
     np.asarray(run(state, jax.random.split(key, reps)))  # compile + real sync
     trials = []
@@ -202,30 +236,15 @@ def main() -> int:
 
     tpu_ms = time_tpu(ds, idx, ys)
 
-    # The CPU pass reuses the final TPU-selected batch as the greedy trajectory.
+    # The CPU pass reuses the final TPU-selected batch as the greedy
+    # trajectory (deterministic production lattice — no qmc_key here).
     import jax
-    import jax.numpy as jnp
 
-    from ital_tpu.models import gp as gp_mod
-    from ital_tpu.select.base import StrategyParams
     from ital_tpu.select.ital import select_ital
 
-    state = gp_mod.gp_init(jnp.asarray(ds.x), LS, VAR, NOISE, CAP)
-    k = len(idx)
-    state = gp_mod.gp_fit(
-        state.replace(
-            idx=state.idx.at[:k].set(jnp.asarray(idx, jnp.int32)),
-            y=state.y.at[:k].set(jnp.asarray(ys, jnp.float32)),
-            valid=state.valid.at[:k].set(True),
-            count=jnp.asarray(k, jnp.int32),
-        )
-    )
-    params = StrategyParams(
-        label_prob=jnp.asarray(LABEL_PROB), mistake_prob=jnp.asarray(MISTAKE_PROB)
-    )
-    batch = np.asarray(select_ital(state, BATCH, jax.random.PRNGKey(0), params,
-                                   n_qmc=N_QMC, refine_top=REFINE_TOP,
-                                   refine_n_qmc=REFINE_N_QMC))
+    state = build_state(ds, idx, ys)
+    batch = np.asarray(select_ital(state, BATCH, jax.random.PRNGKey(0),
+                                   bench_params(), **select_kwargs()))
 
     cpu_ms = recorded_cpu_ms()
     if cpu_ms is None:

@@ -1,33 +1,37 @@
 #!/usr/bin/env python
 """Validate bench.py's scanned-rounds protocol on the real chip (one lease).
 
-Four measurements on the exact bench workload (MIRFLICKR-25K scale, seed-7
-mid-session labeled state, production two-stage config):
+Four measurements on the exact bench workload — state, selection config, and
+scan body are all imported FROM bench.py (``build_state`` / ``bench_params``
+/ ``select_kwargs`` / ``make_scan_run``), so the probe can never drift into
+validating a different workload than the bench measures:
 
-1. ``det_per_call``      — per-call pipeline slope of the DETERMINISTIC
-                           production selection (the round-4 pre-scan
-                           headline protocol).
-2. ``keyed_per_call``    — same, with ``qmc_key`` (randomized-QMC lattice
-                           shifts).  keyed - det isolates what tracing the
-                           lattice shift costs on this backend (CPU measured
-                           ~+30%; the direction is conservative — the scanned
-                           bench can only overstate per-round cost).
-3. ``scan_keyed``        — bench.py's actual protocol: one lax.scan of
-                           ``reps`` keyed rounds, ONE dispatch + ONE fetch,
-                           per-round = total/reps, at reps = 16 and 64.
-                           reps-independence of the per-round figure is the
-                           protocol working as designed (device time + RTT/reps).
-4. ``scan_det_total_s``  — the HOISTING EVIDENCE: the same scan WITHOUT
-                           qmc_key is loop-invariant (the deterministic
-                           lattice ignores the round key over a frozen
-                           state), so XLA hoists the whole selection out of
-                           the while loop and total time goes flat in reps.
-                           Recorded so the guard in bench.py cites a measured
-                           TPU number, not only the CPU one.
+1. ``det_per_call``   — per-call pipeline slope of the DETERMINISTIC
+                        production selection (the round-4 pre-scan headline
+                        protocol).
+2. ``keyed_per_call`` — same, with ``qmc_key`` (randomized-QMC lattice
+                        shifts).  keyed - det isolates what tracing the
+                        lattice shift costs on this backend (CPU measured
+                        ~+30%; the direction is conservative — the scanned
+                        bench can only overstate per-round cost).
+3. ``scan.keyed_reps16`` / ``scan.keyed_reps64`` — bench.py's actual
+                        protocol: one lax.scan of ``reps`` keyed rounds, ONE
+                        dispatch + ONE fetch, ``per_round_ms`` = total/reps.
+                        reps-independence of the per-round figure is the
+                        protocol working as designed (device time + RTT/reps).
+4. ``scan.det_reps16`` / ``scan.det_reps64`` — the HOISTING EVIDENCE: the
+                        same scan WITHOUT qmc_key is loop-invariant (the
+                        deterministic lattice ignores the round key over a
+                        frozen state), so XLA hoists the whole selection out
+                        of the while loop and ``total_s`` goes flat in reps
+                        (``checks.det_total_reps_ratio`` ~1 instead of ~4).
+                        Recorded so the guard in bench.py cites a measured
+                        TPU number, not only the CPU one.
 
 Writes results/scan_protocol_probe.json.  Runs on whatever platform JAX
 picks (the axon TPU unless forced); the record carries ``platform`` so
-consumers can tell.
+consumers can tell — the CPU-backend record of the same schema is
+results/scan_protocol_probe_cpu.json (docs/PROFILE.md section 9).
 """
 
 from __future__ import annotations
@@ -41,44 +45,21 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import bench  # noqa: E402  (repo-root module: corpus/state/config of record)
+import bench  # noqa: E402  (repo-root module: the workload of record)
 from scripts.timing_protocol import measure_select  # noqa: E402
-
-
-def _bench_state():
-    import jax.numpy as jnp
-
-    from ital_tpu.models import gp as gp_mod
-
-    rng = np.random.default_rng(7)
-    ds = bench._corpus()
-    idx, ys = bench._labeled_history(ds, rng)
-    state = gp_mod.gp_init(jnp.asarray(ds.x), bench.LS, bench.VAR, bench.NOISE,
-                           bench.CAP)
-    k = len(idx)
-    state = gp_mod.gp_fit(state.replace(
-        idx=state.idx.at[:k].set(jnp.asarray(idx, jnp.int32)),
-        y=state.y.at[:k].set(jnp.asarray(ys, jnp.float32)),
-        valid=state.valid.at[:k].set(True),
-        count=jnp.asarray(k, jnp.int32),
-    ))
-    return state
 
 
 def main() -> int:
     import jax
-    import jax.numpy as jnp
 
-    from ital_tpu.select.base import StrategyParams
     from ital_tpu.select.ital import select_ital
 
-    state = _bench_state()
-    params = StrategyParams(
-        label_prob=jnp.asarray(bench.LABEL_PROB),
-        mistake_prob=jnp.asarray(bench.MISTAKE_PROB),
-    )
-    kw = dict(n_qmc=bench.N_QMC, refine_top=bench.REFINE_TOP,
-              refine_n_qmc=bench.REFINE_N_QMC)
+    rng = np.random.default_rng(7)
+    ds = bench._corpus()
+    idx, ys = bench._labeled_history(ds, rng)
+    state = bench.build_state(ds, idx, ys)
+    params = bench.bench_params()
+    kw = bench.select_kwargs()
     report = {"platform": jax.devices()[0].platform, "batch": bench.BATCH,
               "config": kw}
 
@@ -93,17 +74,10 @@ def main() -> int:
     report["keyed_per_call"] = {"first_s": round(first, 3),
                                 "slope_ms": round(slope, 3)}
 
-    def scan_fn(keyed: bool):
-        def _round(st, key):
-            return st, select_ital(st, bench.BATCH, key, params,
-                                   qmc_key=key if keyed else None, **kw)
-
-        return jax.jit(lambda st, keys: jax.lax.scan(_round, st, keys)[1])
-
     key = jax.random.PRNGKey(0)
     scan = {}
     for keyed in (True, False):
-        run = scan_fn(keyed)
+        run = bench.make_scan_run(params, keyed=keyed)
         for reps in (16, 64):
             keys = jax.random.split(key, reps)
             t0 = time.perf_counter()
@@ -135,8 +109,10 @@ def main() -> int:
             d64["total_s"] / max(d16["total_s"], 1e-9), 3),
     }
 
+    suffix = "" if report["platform"] != "cpu" else "_cpu"
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "results", "scan_protocol_probe.json")
+        os.path.abspath(__file__))), "results",
+        f"scan_protocol_probe{suffix}.json")
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report, indent=1))

@@ -454,6 +454,26 @@ def test_randomize_qmc_reaches_every_mode(monkeypatch):
     )
     np.testing.assert_allclose(sharded["ap"], serial["ap"], atol=2e-2)
 
+    # The remaining two runner construction sites behind the "every execution
+    # mode" claim: sharded cohorts (query_batch > 1) and the large-cap bigcap
+    # round (cap >= chol2d_threshold, divisible by the mesh) — both must also
+    # derive keyed shifts.
+    shift_keys.clear()
+    run_experiment(dataclasses.replace(
+        base, mesh_devices=8, query_batch=2, fused_sessions=True
+    ))
+    assert any(flag for t, flag in shift_keys if t >= 1), (
+        "sharded cohort never derived a keyed shift"
+    )
+    shift_keys.clear()
+    run_experiment(dataclasses.replace(
+        base, mesh_devices=8,
+        gp=dataclasses.replace(base.gp, chol2d_threshold=16),
+    ))
+    assert any(flag for t, flag in shift_keys if t >= 1), (
+        "bigcap round never derived a keyed shift"
+    )
+
 
 def test_profile_dir_writes_trace(tmp_path):
     """profile_dir produces a jax.profiler trace (SURVEY section 5 tracing row)."""

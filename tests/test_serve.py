@@ -441,7 +441,8 @@ def test_service_method_kwargs_reach_selection():
         x.astype(np.float32), length_scale=2.5, noise=0.1, cap=32,
         strategy="ital", label_prob=0.9, mistake_prob=0.05,
         method_kwargs={"n_qmc": 32, "pool_size": 20,
-                       "refine_top": 8, "refine_n_qmc": 64},
+                       "refine_top": 8, "refine_n_qmc": 64,
+                       "randomize_qmc": True},
     )
     sids = []
     for q in (3, 47):
