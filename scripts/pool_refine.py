@@ -169,8 +169,13 @@ def main() -> int:
     ap.add_argument("--map", action="store_true")
     ap.add_argument("--map-heavy", action="store_true")
     ap.add_argument("--seeds", default="0,1,2,3,4,5,6,7")
+    ap.add_argument("--out", default=None,
+                    help="output record path (default results/pool_refine.json"
+                         "; use a distinct path for CPU-backend MAP-only runs "
+                         "so the default path stays the chip-study completion "
+                         "marker the retry supervisor watches)")
     args = ap.parse_args()
-    out_path = os.path.join(REPO, "results", "pool_refine.json")
+    out_path = args.out or os.path.join(REPO, "results", "pool_refine.json")
     report = {}
     if os.path.exists(out_path):
         with open(out_path) as fh:
