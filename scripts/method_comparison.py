@@ -35,7 +35,8 @@ DEFAULT_METHODS = ["ital", "uncertainty_sampling", "random"]
 
 
 def run_one(method: str, label_prob: float, mistake_prob: float, seed: int,
-            gp_noise: float | None, learn_every: int = 0):
+            gp_noise: float | None, learn_every: int = 0,
+            method_overrides: tuple = ()):
     from ital_tpu.runner import run_experiment
     from ital_tpu.utils.config import load_config
 
@@ -47,6 +48,7 @@ def run_one(method: str, label_prob: float, mistake_prob: float, seed: int,
         f"USER.label_prob={label_prob}",
         f"USER.mistake_prob={mistake_prob}",
     ]
+    overrides += [f"METHOD.{kv}" for kv in method_overrides]
     if gp_noise is not None:
         overrides.append(f"GP.noise={gp_noise}")
     if learn_every:
@@ -77,6 +79,13 @@ def main() -> int:
                          "the misspecification-recovery experiment of "
                          "docs/NOISE_ANALYSIS.md Finding 4")
     ap.add_argument("--methods", default=",".join(DEFAULT_METHODS))
+    ap.add_argument("--ital-kwargs", default="",
+                    help="comma-separated k=v [METHOD] overrides applied to "
+                         "the ITAL runs ONLY (other strategies reject unknown "
+                         "kwargs), e.g. the production combined config "
+                         "'pool_size=4096,n_qmc=32,refine_top=64,"
+                         "refine_n_qmc=512' — the NOISE_ANALYSIS Finding-5 "
+                         "lever; suffixes the output filename")
     args = ap.parse_args()
 
     lp, mp = (0.6, 0.15) if args.heavy else (0.8, 0.05)
@@ -89,6 +98,10 @@ def main() -> int:
         stem += f"_gpnoise{args.gp_noise:g}"
     if args.learn_every:
         stem += f"_learn{args.learn_every}"
+    ital_kwargs = tuple(kv for kv in args.ital_kwargs.split(",") if kv)
+    if ital_kwargs:
+        stem += "_italpool" if any(
+            kv.startswith("pool_size") for kv in ital_kwargs) else "_italkw"
     out_name = os.path.join(repo, "results", stem + ".json")
 
     record: dict = {}
@@ -97,7 +110,8 @@ def main() -> int:
         for seed in seeds:
             print(f"== {m} seed={seed}", flush=True)
             res, wall = run_one(m, lp, mp, seed, args.gp_noise,
-                                args.learn_every)
+                                args.learn_every,
+                                ital_kwargs if m == "ital" else ())
             curves.append([round(float(v), 4) for v in res["map"]])
             walls.append(round(wall, 1))
             print(f"   final MAP {res['map'][-1]:.4f} ({wall:.1f}s)", flush=True)
@@ -115,6 +129,7 @@ def main() -> int:
             "user": f"label_prob={lp}, mistake_prob={mp}",
             "gp_noise": args.gp_noise,
             "learn_every": args.learn_every,
+            "ital_kwargs": list(ital_kwargs) if m == "ital" else [],
             "mode": "cohort-fused (query_batch=7)",
         }
     os.makedirs(os.path.dirname(out_name), exist_ok=True)
