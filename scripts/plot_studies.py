@@ -149,46 +149,9 @@ def plot_refine_study():
     print(f"wrote {out}")
 
 
-def plot_pool_refine():
-    with open(os.path.join(RESULTS, "pool_refine.json")) as fh:
-        study = json.load(fh)
-
-    fig, (ax_t, ax_q) = plt.subplots(1, 2, figsize=(12, 4.4))
-
-    # Timing: grouped horizontal bars per corpus — the combined config read
-    # against its single-lever anchors, all measured in one chip session.
-    configs = list(study["timing"]["mirflickr25k"]["configs"])
-    colors = PALETTE[: len(configs)]
-    corpora = [(k, l) for k, l in (("mirflickr25k", "25k"),
-                                   ("corpus100k", "100k"))
-               if k in study["timing"]]
-    height = 0.8 / len(configs)
-    for ci, (cfg, color) in enumerate(zip(configs, colors)):
-        ys, xs = [], []
-        for gi, (key, _) in enumerate(corpora):
-            rec = study["timing"][key]["configs"].get(cfg)
-            if rec is None:
-                continue
-            ys.append(gi + (ci - (len(configs) - 1) / 2) * height)
-            xs.append(rec["ms_per_round"])
-        bars = ax_t.barh(ys, xs, height=height * 0.9, color=color, label=cfg)
-        for bar, x in zip(bars, xs):
-            ax_t.annotate(f"{x:.2f}", (x, bar.get_y() + bar.get_height() / 2),
-                          textcoords="offset points", xytext=(4, 0),
-                          va="center", fontsize=8, color="#333")
-    max_ms = max(rec["ms_per_round"] for key, _ in corpora
-                 for rec in study["timing"][key]["configs"].values())
-    ax_t.set_xlim(0, max_ms * 1.18)
-    ax_t.set_yticks(range(len(corpora)))
-    ax_t.set_yticklabels([f"corpus {lbl}" for _, lbl in corpora])
-    ax_t.invert_yaxis()
-    ax_t.set_xlabel("selection ms/round (pipeline slope)")
-    ax_t.set_title("Pool x two-stage: combined vs single-lever anchors")
-    ax_t.grid(True, alpha=0.3, axis="x")
-    ax_t.legend(frameon=False, fontsize=8)
-
-    # Quality: the combined config vs the full-fidelity reference config,
-    # both noise regimes on one panel (solid = standard, dashed = heavy).
+def _plot_pool_refine_quality(ax_q, study):
+    """Quality panel: the combined config vs the full-fidelity reference,
+    both noise regimes on one axis (solid = standard, dashed = heavy)."""
     drawn = False
     for key, suffix, dash in (("map", " (standard)", "-"),
                               ("map_heavy", " (heavy noise)", "--")):
@@ -232,6 +195,110 @@ def plot_pool_refine():
                   "(scripts/pool_refine.py --map --map-heavy)",
                   ha="center", va="center", fontsize=9, color="#666")
 
+
+def plot_flagship_production():
+    """MAP curves of the flagship ordering at the PRODUCTION config
+    (NOISE_ANALYSIS Finding 5): ital (pool 4096 + two-stage) vs uncertainty
+    sampling, standard and heavy user noise side by side."""
+    panels = []
+    for fname, title in (
+        ("mirflickr_methods_italpool.json", "standard noise (lp=.8/mp=.05)"),
+        ("mirflickr_methods_heavynoise_italpool.json",
+         "heavy noise (lp=.6/mp=.15)"),
+    ):
+        path = os.path.join(RESULTS, fname)
+        if os.path.exists(path):
+            with open(path) as fh:
+                panels.append((json.load(fh), title))
+    if not panels:
+        print("no flagship-production records yet "
+              "(scripts/method_comparison.py --ital-kwargs ...)",
+              file=sys.stderr)
+        return
+
+    fig, axes = plt.subplots(1, len(panels), figsize=(6 * len(panels), 4.4),
+                             squeeze=False)
+    labels = {"ital": "ital (production: pool 4096 + two-stage)",
+              "uncertainty_sampling": "uncertainty sampling"}
+    for ax, (record, title) in zip(axes[0], panels):
+        recs = {labels[m]: record[m] for m in
+                ("ital", "uncertainty_sampling") if m in record}
+        _map_panel(ax, recs, list(recs), PALETTE, title)
+        import numpy as np
+        i = np.asarray(record["ital"]["final_map_by_seed"])
+        u = np.asarray(record["uncertainty_sampling"]["final_map_by_seed"])
+        d = i - u
+        t = float(d.mean() / (d.std(ddof=1) / np.sqrt(len(d))))
+        ax.text(0.02, 0.03,
+                f"paired final Δ {d.mean():+.4f}, "
+                f"{int((d > 0).sum())}/{len(d)} wins, t={t:.1f}",
+                transform=ax.transAxes, fontsize=8, color="#333")
+
+    fig.tight_layout()
+    out = os.path.join(RESULTS, "flagship_production.png")
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
+def plot_pool_refine():
+    chip_path = os.path.join(RESULTS, "pool_refine.json")
+    if os.path.exists(chip_path):
+        with open(chip_path) as fh:
+            study = json.load(fh)
+    else:
+        # Tunnel-outage fallback: the CPU-backend MAP-only record
+        # (PROFILE.md section 10) — quality panel only, timing chip-pending.
+        with open(os.path.join(RESULTS, "pool_refine_map_cpu.json")) as fh:
+            study = json.load(fh)
+
+    fig, (ax_t, ax_q) = plt.subplots(1, 2, figsize=(12, 4.4))
+
+    if "timing" not in study:
+        ax_t.set_axis_off()
+        ax_t.text(0.5, 0.5, "timing rows chip-pending\n"
+                  "(tunnel outage — scripts/pool_refine.py on the chip)",
+                  ha="center", va="center", fontsize=9, color="#666")
+        _plot_pool_refine_quality(ax_q, study)
+        fig.tight_layout()
+        out = os.path.join(RESULTS, "pool_refine.png")
+        fig.savefig(out, dpi=150)
+        print(f"wrote {out}")
+        return
+
+    # Timing: grouped horizontal bars per corpus — the combined config read
+    # against its single-lever anchors, all measured in one chip session.
+    configs = list(study["timing"]["mirflickr25k"]["configs"])
+    colors = PALETTE[: len(configs)]
+    corpora = [(k, l) for k, l in (("mirflickr25k", "25k"),
+                                   ("corpus100k", "100k"))
+               if k in study["timing"]]
+    height = 0.8 / len(configs)
+    for ci, (cfg, color) in enumerate(zip(configs, colors)):
+        ys, xs = [], []
+        for gi, (key, _) in enumerate(corpora):
+            rec = study["timing"][key]["configs"].get(cfg)
+            if rec is None:
+                continue
+            ys.append(gi + (ci - (len(configs) - 1) / 2) * height)
+            xs.append(rec["ms_per_round"])
+        bars = ax_t.barh(ys, xs, height=height * 0.9, color=color, label=cfg)
+        for bar, x in zip(bars, xs):
+            ax_t.annotate(f"{x:.2f}", (x, bar.get_y() + bar.get_height() / 2),
+                          textcoords="offset points", xytext=(4, 0),
+                          va="center", fontsize=8, color="#333")
+    max_ms = max(rec["ms_per_round"] for key, _ in corpora
+                 for rec in study["timing"][key]["configs"].values())
+    ax_t.set_xlim(0, max_ms * 1.18)
+    ax_t.set_yticks(range(len(corpora)))
+    ax_t.set_yticklabels([f"corpus {lbl}" for _, lbl in corpora])
+    ax_t.invert_yaxis()
+    ax_t.set_xlabel("selection ms/round (pipeline slope)")
+    ax_t.set_title("Pool x two-stage: combined vs single-lever anchors")
+    ax_t.grid(True, alpha=0.3, axis="x")
+    ax_t.legend(frameon=False, fontsize=8)
+
+    _plot_pool_refine_quality(ax_q, study)
+
     fig.tight_layout()
     out = os.path.join(RESULTS, "pool_refine.png")
     fig.savefig(out, dpi=150)
@@ -240,19 +307,24 @@ def plot_pool_refine():
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--only", choices=["pool", "refine", "pool_refine"])
+    parser.add_argument("--only", choices=["pool", "refine", "pool_refine",
+                                           "flagship"])
     args = parser.parse_args(argv)
     if args.only in (None, "pool"):
         plot_pool_tradeoff()
     if args.only in (None, "refine"):
         plot_refine_study()
     if args.only in (None, "pool_refine"):
-        if os.path.exists(os.path.join(RESULTS, "pool_refine.json")):
+        if (os.path.exists(os.path.join(RESULTS, "pool_refine.json"))
+                or os.path.exists(os.path.join(RESULTS,
+                                               "pool_refine_map_cpu.json"))):
             plot_pool_refine()
         elif args.only == "pool_refine":
             print("results/pool_refine.json not recorded yet "
                   "(scripts/pool_refine.py)", file=sys.stderr)
             return 1
+    if args.only in (None, "flagship"):
+        plot_flagship_production()
     return 0
 
 
