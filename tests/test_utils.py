@@ -118,3 +118,34 @@ def test_plot_results_loads_record_formats(tmp_path):
     series = pr.load_records(str(comp), "methods")
     assert {s[0] for s in series} == {"ital", "random"}
     assert dict((s[0], s[3]) for s in series)["random"] is None
+
+
+def test_all_shipped_configs_load_and_declare_valid_method_kwargs():
+    """Every configs/*.ini parses, names a registered strategy/dataset, and
+    its [METHOD] keys exist in the strategy's signature — a typo'd knob in a
+    shipped config (e.g. refine_tops) must fail here, not at first use."""
+    import glob
+    import inspect
+    import os
+
+    from ital_tpu.select.base import STRATEGIES, get_strategy
+    from ital_tpu.utils.config import load_config
+    # Populate the registry.
+    import ital_tpu.select.baselines  # noqa: F401
+    import ital_tpu.select.ital  # noqa: F401
+    import ital_tpu.select.regression  # noqa: F401
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "*.ini")))
+    assert paths, "no shipped configs found"
+    for path in paths:
+        cfg = load_config(path)
+        fn = get_strategy(cfg.method)
+        params = inspect.signature(fn).parameters
+        for key in cfg.method_kwargs:
+            if key == "tradeoff":  # rides in StrategyParams, not a kwarg
+                continue
+            assert key in params, (
+                f"{os.path.basename(path)}: [METHOD] {key} is not an option "
+                f"of strategy {cfg.method!r} ({sorted(params)})"
+            )
