@@ -229,7 +229,31 @@ def time_cpu(ds, idx, ys, tpu_batch) -> float:
     return total_s * 1e3
 
 
+def _resolve_platform() -> str:
+    """Initialize the JAX backend, falling back to CPU if the chip is gone.
+
+    The axon chip sits behind a tunnel that has been observed down for
+    multi-hour windows (docs/PROFILE.md section 9 history); backend setup
+    then raises UNAVAILABLE — sometimes quickly, sometimes after a long
+    hang in the setup RPC.  A dead tunnel should record an HONEST
+    CPU-backend measurement (flagged via the ``platform`` output field)
+    rather than crash the bench run: the protocol, workload, and
+    denominator are identical, only the device changes.
+    """
+    import jax
+
+    try:
+        return jax.devices()[0].platform
+    except RuntimeError as exc:
+        sys.stderr.write(
+            f"bench: device backend unavailable ({exc}); "
+            "falling back to the CPU platform\n")
+        jax.config.update("jax_platforms", "cpu")
+        return jax.devices()[0].platform
+
+
 def main() -> int:
+    platform = _resolve_platform()
     rng = np.random.default_rng(7)
     ds = _corpus()
     idx, ys = _labeled_history(ds, rng)
@@ -255,6 +279,7 @@ def main() -> int:
         "value": round(tpu_ms, 3),
         "unit": "ms",
         "vs_baseline": round(cpu_ms / tpu_ms, 2),
+        "platform": platform,
     }))
     return 0
 
