@@ -44,6 +44,17 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# Platform escape hatch: ITAL_TPU_PLATFORM=cpu forces the JAX platform before
+# any backend initializes.  The JAX_PLATFORMS env var alone is ignored on this
+# host (the axon TPU plugin self-registers), and a dead chip tunnel can HANG
+# backend setup rather than error — this knob lets every CLI/script run
+# against the CPU backend during an outage (tests force it via conftest).
+_plat = _os.environ.get("ITAL_TPU_PLATFORM")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+
 # Persistent XLA compilation cache: the fused selection/update steps take
 # minutes to compile at MIRFLICKR scale; caching makes every process after the
 # first start warm.  Opt out with ITAL_TPU_NO_CACHE=1.

@@ -17,8 +17,13 @@ file (``…_gpnoise0.5.json``) — used by the heavy-noise robustness analysis
 (docs/NOISE_ANALYSIS.md) to separate the user-model story from GP
 regularization.
 
+``--dataset digits`` runs the same comparison on scikit-learn's bundled 8x8
+digits — REAL features, no surrogate — so the flagship ordering claim is
+also pinned on non-synthetic data (output ``results/digits_methods*.json``).
+
 Usage: python scripts/method_comparison.py [--heavy] [--seeds 0,1,2]
        [--gp-noise 0.5] [--methods ital,uncertainty_sampling,random]
+       [--dataset digits] [--query-batch 5]
 """
 
 from __future__ import annotations
@@ -36,14 +41,15 @@ DEFAULT_METHODS = ["ital", "uncertainty_sampling", "random"]
 
 def run_one(method: str, label_prob: float, mistake_prob: float, seed: int,
             gp_noise: float | None, learn_every: int = 0,
-            method_overrides: tuple = ()):
+            method_overrides: tuple = (), dataset: str = "mirflickr",
+            query_batch: int = 7):
     from ital_tpu.runner import run_experiment
     from ital_tpu.utils.config import load_config
 
     overrides = [
         f"EXPERIMENT.method={method}",
         f"EXPERIMENT.seed={seed}",
-        "EXPERIMENT.query_batch=7",
+        f"EXPERIMENT.query_batch={query_batch}",
         "EXPERIMENT.fused_sessions=true",
         f"USER.label_prob={label_prob}",
         f"USER.mistake_prob={mistake_prob}",
@@ -55,7 +61,7 @@ def run_one(method: str, label_prob: float, mistake_prob: float, seed: int,
         overrides.append(f"GP.learn_every={learn_every}")
     cfg = load_config(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "configs", "mirflickr.ini"),
+                     "configs", f"{dataset}.ini"),
         tuple(overrides),
     )
     t0 = time.time()
@@ -79,6 +85,13 @@ def main() -> int:
                          "the misspecification-recovery experiment of "
                          "docs/NOISE_ANALYSIS.md Finding 4")
     ap.add_argument("--methods", default=",".join(DEFAULT_METHODS))
+    ap.add_argument("--dataset", default="mirflickr",
+                    help="config stem under configs/ (e.g. digits for the "
+                         "REAL offline dataset — the flagship ordering on "
+                         "non-surrogate features); output stem follows")
+    ap.add_argument("--query-batch", type=int, default=None,
+                    help="cohort width (must divide total sessions); default "
+                         "7 for mirflickr's 14 topics, 5 otherwise")
     ap.add_argument("--ital-kwargs", default="",
                     help="comma-separated k=v [METHOD] overrides applied to "
                          "the ITAL runs ONLY (other strategies reject unknown "
@@ -91,9 +104,13 @@ def main() -> int:
     lp, mp = (0.6, 0.15) if args.heavy else (0.8, 0.05)
     seeds = [int(s) for s in args.seeds.split(",")]
     methods = [m for m in args.methods.split(",") if m]
+    query_batch = args.query_batch if args.query_batch is not None else (
+        7 if args.dataset == "mirflickr" else 5)
     # Anchor outputs to the repo, not the cwd (the config path already is).
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    stem = "mirflickr_methods_heavynoise" if args.heavy else "mirflickr_methods"
+    stem = f"{args.dataset}_methods"
+    if args.heavy:
+        stem += "_heavynoise"
     if args.gp_noise is not None:
         stem += f"_gpnoise{args.gp_noise:g}"
     if args.learn_every:
@@ -111,7 +128,8 @@ def main() -> int:
             print(f"== {m} seed={seed}", flush=True)
             res, wall = run_one(m, lp, mp, seed, args.gp_noise,
                                 args.learn_every,
-                                ital_kwargs if m == "ital" else ())
+                                ital_kwargs if m == "ital" else (),
+                                args.dataset, query_batch)
             curves.append([round(float(v), 4) for v in res["map"]])
             walls.append(round(wall, 1))
             print(f"   final MAP {res['map'][-1]:.4f} ({wall:.1f}s)", flush=True)
@@ -130,7 +148,11 @@ def main() -> int:
             "gp_noise": args.gp_noise,
             "learn_every": args.learn_every,
             "ital_kwargs": list(ital_kwargs) if m == "ital" else [],
-            "mode": "cohort-fused (query_batch=7)",
+            "mode": f"cohort-fused (query_batch={query_batch})",
+            "dataset": args.dataset,
+            # Ordering claims pair within one backend (bf16 trajectories
+            # diverge across backends like a seed change) — record it.
+            "platform": __import__("jax").devices()[0].platform,
         }
     os.makedirs(os.path.dirname(out_name), exist_ok=True)
     with open(out_name, "w") as fh:
