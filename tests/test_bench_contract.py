@@ -31,6 +31,30 @@ def test_recorded_denominator_matches_json():
     assert abs(sum(rec["step_s"]) - rec["full_round_single_core_s"]) < 1.0
 
 
+def test_resolve_platform_falls_back_to_cpu(monkeypatch):
+    """A dead chip tunnel raises RuntimeError from backend init; bench must
+    fall back to the CPU platform (and flag it) instead of crashing — the
+    driver's round-end run then records an honest CPU measurement."""
+    sys.path.insert(0, REPO)
+    import jax
+
+    import bench
+
+    real_devices = jax.devices
+    calls = {"n": 0}
+
+    def flaky_devices(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("Unable to initialize backend 'axon': "
+                               "UNAVAILABLE (simulated dead tunnel)")
+        return real_devices(*a, **kw)
+
+    monkeypatch.setattr(jax, "devices", flaky_devices)
+    assert bench._resolve_platform() == "cpu"
+    assert calls["n"] == 2  # errored once, resolved after the fallback
+
+
 def _bench_like_state_and_params(n=300, d=8):
     import jax.numpy as jnp
     import numpy as np
