@@ -29,10 +29,22 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Honor the platform escape hatch BEFORE any JAX backend initializes: bench
+# touches jax.devices() before it ever imports ital_tpu (whose package init
+# applies the same override), so without this the knob would be dead for the
+# one script it matters most for — a hang-mode tunnel outage hangs backend
+# setup before _resolve_platform's error fallback can fire.
+_plat = os.environ.get("ITAL_TPU_PLATFORM")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
 
 BATCH = 4
 N_QMC = 32

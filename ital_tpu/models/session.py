@@ -47,13 +47,14 @@ def _jit_select(strategy_name: str, k: int, kw_items: tuple = ()):
     reuse the compiled program instead of re-tracing per instance.
     ``kw_items`` is the sorted tuple of static strategy kwargs (n_qmc,
     pool_size, refine_top, ...) so it is hashable for the cache; kwargs the
-    strategy's signature does not declare are dropped (a service-wide ITAL
-    option set must not break a session created with strategy=random)."""
-    import inspect
+    strategy's signature does not declare are dropped here as a final guard
+    (snapshots restored onto a server with a different default strategy carry
+    the ORIGINAL strategy's options) — user-supplied options are validated
+    loudly at session construction."""
+    from ital_tpu.select.base import filter_method_kwargs
 
     sel = get_strategy(strategy_name)
-    sig = inspect.signature(sel)
-    kw = {name: v for name, v in kw_items if name in sig.parameters}
+    kw = filter_method_kwargs(strategy_name, dict(kw_items))
     return jax.jit(lambda st, key, pp: sel(st, k, key, pp, **kw))
 
 
@@ -98,13 +99,24 @@ class ActiveRetrieval:
         # fetch_unlabelled (the HTTP surface feeds raw JSON into this dict).
         self.method_kwargs = dict(method_kwargs or {})
         for name, v in self.method_kwargs.items():
-            if not isinstance(v, (int, float, bool, str, type(None))):
+            # str is rejected too: no registered strategy declares a
+            # string-typed option, so a JSON client's "32" would otherwise
+            # surface only as an opaque trace-time error inside jit.
+            if isinstance(v, str) or not isinstance(
+                    v, (int, float, bool, type(None))):
                 raise TypeError(
-                    f"method_kwargs[{name!r}] must be a scalar "
-                    f"(int/float/bool/str/None), got {type(v).__name__}: "
+                    f"method_kwargs[{name!r}] must be a numeric/bool scalar "
+                    f"(int/float/bool/None), got {type(v).__name__}: "
                     f"these are static compile-time options"
                 )
         get_strategy(strategy)  # fail fast on unknown strategy names
+        # Undeclared option names are a hard error on this user-facing ctor
+        # (a silently dropped typo'd option no-ops at full cost); service
+        # layers merging strategy-agnostic DEFAULTS filter them first with
+        # select.base.filter_method_kwargs.
+        from ital_tpu.select.base import validate_method_kwargs
+
+        validate_method_kwargs(strategy, self.method_kwargs)
         self.params = StrategyParams(
             label_prob=jnp.asarray(label_prob),
             mistake_prob=jnp.asarray(mistake_prob),

@@ -58,6 +58,51 @@ def get_strategy(name: str) -> SelectFn:
         ) from None
 
 
+def declared_method_kwargs(name: str) -> frozenset:
+    """Names of the static per-strategy options ``name`` declares.
+
+    Strategy options are keyword-only by convention (everything after ``*`` in
+    the ``select(state, batch_size, key, params, *, ...)`` signature) — the
+    reference passes these as per-learner ctor kwargs (SURVEY.md C3's
+    tractability/accuracy knobs).
+    """
+    import inspect
+
+    sig = inspect.signature(get_strategy(name))
+    return frozenset(n for n, p in sig.parameters.items()
+                     if p.kind is inspect.Parameter.KEYWORD_ONLY)
+
+
+def filter_method_kwargs(name: str, kwargs: dict) -> dict:
+    """Drop options strategy ``name`` does not declare.
+
+    For SERVICE-LEVEL defaults shared across strategies (a service-wide ITAL
+    option set must not break a session created with strategy=random) and for
+    snapshots restored onto a server with a different default strategy.
+    Per-session/user-supplied options should go through
+    :func:`validate_method_kwargs` instead — silent drops hide typos.
+    """
+    declared = declared_method_kwargs(name)
+    return {k: v for k, v in kwargs.items() if k in declared}
+
+
+def validate_method_kwargs(name: str, kwargs: dict) -> None:
+    """Reject options strategy ``name`` does not declare (loud, not a no-op).
+
+    A typo'd option (``pool_siez``) that is silently dropped leaves the
+    session running at full cost while the caller believes the restriction is
+    in force — fail with the valid-names list instead (mirrors the config
+    loader's unknown-[METHOD]-key error).
+    """
+    declared = declared_method_kwargs(name)
+    unknown = sorted(set(kwargs) - declared)
+    if unknown:
+        raise ValueError(
+            f"unknown method_kwargs for strategy {name!r}: {unknown}; "
+            f"declared options: {sorted(declared)}"
+        )
+
+
 def labeled_mask(state: GPState, *, include_inert: bool = False) -> jax.Array:
     """(N,) bool — True at corpus indices that must not be selected again.
 

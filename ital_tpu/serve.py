@@ -169,6 +169,12 @@ class RetrievalService:
         mkw_over = overrides.pop("method_kwargs", None)
         cfg = {**self.defaults, **{k: v for k, v in overrides.items()
                                    if v is not None}}
+        # Service-level defaults are strategy-AGNOSTIC (one [METHOD] section
+        # serves every strategy a session may pick), so undeclared names are
+        # filtered; the PER-SESSION overrides are user intent for a known
+        # strategy — the ctor validates them loudly (typos -> 400).
+        from ital_tpu.select.base import filter_method_kwargs
+
         sess = ActiveRetrieval(
             self.x,
             length_scale=float(cfg["length_scale"]),
@@ -176,7 +182,11 @@ class RetrievalService:
             cap=int(cfg["cap"]), strategy=str(cfg["strategy"]),
             label_prob=float(cfg["label_prob"]),
             mistake_prob=float(cfg["mistake_prob"]),
-            method_kwargs={**self.method_kwargs, **(mkw_over or {})},
+            method_kwargs={
+                **filter_method_kwargs(str(cfg["strategy"]),
+                                       self.method_kwargs),
+                **(mkw_over or {}),
+            },
         )
         from ital_tpu.runner import DENSITY_STRATEGIES
 
@@ -297,11 +307,10 @@ class RetrievalService:
                 mu=0, sig2=0,
                 hyper=GPHyper(length_scale=0, var=0, noise=0), density=None,
             )
-            import inspect
+            from ital_tpu.select.base import filter_method_kwargs
 
             select = get_strategy(strategy)
-            sig = inspect.signature(select)
-            kw = {n: v for n, v in kw_items if n in sig.parameters}
+            kw = filter_method_kwargs(strategy, dict(kw_items))
             select_v = jax.vmap(
                 lambda st, kk, pp: select(st, k, kk, pp, **kw),
                 in_axes=(axes_state, 0, 0),

@@ -30,7 +30,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CAP = 64
 BATCH_SIZES = (4, 6, 8)
 # (tag, pool_size, base n_qmc, refine_top, refine_n_qmc)
 CONFIGS = (
@@ -43,25 +42,14 @@ from scripts.timing_protocol import measure_select  # noqa: E402
 
 
 def _state(ds):
-    import jax.numpy as jnp
-
-    from ital_tpu.models import gp as gp_mod
+    """The bench workload of record — built THROUGH bench.build_state so these
+    rows stay comparable to bench/pool_refine rows if the canonical workload
+    ever changes (the drifting-copies failure mode this repo keeps fixing)."""
+    import bench
 
     rng = np.random.default_rng(7)
-    q = int(rng.integers(0, ds.n))
-    cls = int(np.argmax(ds.relevance[q])) if ds.relevance[q].any() else 0
-    idx = [q] + [int(i) for i in rng.permutation(ds.n)[:20]]
-    ys = [1.0] + [1.0 if ds.relevance[i, cls] else -1.0 for i in idx[1:]]
-    state = gp_mod.gp_init(jnp.asarray(ds.x), 50.0, 1.0, 0.1, CAP)
-    k = len(idx)
-    return gp_mod.gp_fit(
-        state.replace(
-            idx=state.idx.at[:k].set(jnp.asarray(idx, jnp.int32)),
-            y=state.y.at[:k].set(jnp.asarray(ys, jnp.float32)),
-            valid=state.valid.at[:k].set(True),
-            count=jnp.asarray(k, jnp.int32),
-        )
-    )
+    idx, ys = bench._labeled_history(ds, rng)
+    return bench.build_state(ds, idx, ys)
 
 
 def main() -> int:

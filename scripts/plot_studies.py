@@ -228,7 +228,8 @@ def plot_flagship_production():
         i = np.asarray(record["ital"]["final_map_by_seed"])
         u = np.asarray(record["uncertainty_sampling"]["final_map_by_seed"])
         d = i - u
-        t = float(d.mean() / (d.std(ddof=1) / np.sqrt(len(d))))
+        sd = d.std(ddof=1)
+        t = float(d.mean() / (sd / np.sqrt(len(d)))) if sd > 0 else 0.0
         ax.text(0.02, 0.03,
                 f"paired final Δ {d.mean():+.4f}, "
                 f"{int((d > 0).sum())}/{len(d)} wins, t={t:.1f}",

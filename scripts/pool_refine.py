@@ -150,7 +150,8 @@ def run_map(seeds: list[int], *, heavy: bool = False) -> dict:
     new = np.asarray(record[MAP_CONFIGS[1][0]]["final_map_by_seed"])
     d = new - ref
     n = len(d)
-    t = float(d.mean() / (d.std(ddof=1) / np.sqrt(n))) if n > 1 else 0.0
+    t = (float(d.mean() / (d.std(ddof=1) / np.sqrt(n)))
+         if n > 1 and d.std(ddof=1) > 0 else 0.0)
     record["paired"] = {
         "delta_mean": round(float(d.mean()), 4),
         "delta_by_seed": [round(float(v), 4) for v in d],

@@ -37,6 +37,8 @@ def main() -> int:
     tag = ""
     if "--tag" in argv:
         i = argv.index("--tag")
+        if i + 1 >= len(argv):
+            sys.exit("--tag requires a value (the record-filename suffix)")
         tag = "_" + argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     stem = f"bigcap_session_100k{tag}"

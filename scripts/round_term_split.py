@@ -119,8 +119,16 @@ def _terms_for(state, relevant, exclude, params) -> dict:
         y, valid = simulate_feedback(
             k_user, batch, relevant, params.label_prob, params.mistake_prob)
         st = gp_mod.gp_update(st, batch, y, valid)
-        return average_precision(st.mu, relevant, exclude) if with_ap \
-            else st.mu[0]
+        # Return the FULL updated state: in a real round it is the carry the
+        # next round reads (mu for ranking/pool, sig2/v for scoring), so every
+        # gp_update output is live.  Returning a scalar instead lets XLA
+        # dead-code-eliminate the (cap, N) v extension and the sig2 refresh
+        # and slice the mu chain to one element — the same
+        # measurement-fiction class as the scan-hoisting hole this round's
+        # bench protocol fix closed (docs/PROFILE.md section 9).
+        if with_ap:
+            return average_precision(st.mu, relevant, exclude), st
+        return st
 
     round_full = jax.jit(lambda st, key: _round(st, key, with_ap=True))
     round_serve = jax.jit(lambda st, key: _round(st, key, with_ap=False))

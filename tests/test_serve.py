@@ -457,9 +457,6 @@ def test_service_method_kwargs_reach_selection():
     for sid in sids:
         s, _ = svc._entry(sid)
         s._key = jax.random.PRNGKey(0)
-    for sid in sids:
-        s, _ = svc._entry(sid)
-        s._key = jax.random.PRNGKey(0)
     a = {sid: svc.next_batch(sid, 3) for sid in sids}
     for sid in sids:
         s, _ = svc._entry(sid)
@@ -575,6 +572,16 @@ def test_http_session_method_kwargs_non_scalar_rejected(server):
                    {"method_kwargs": {"pool_size": [16, 32]}})
     assert code == 400
     assert "scalar" in r["error"]
+
+
+def test_http_session_method_kwargs_unknown_rejected(server):
+    """A typo'd per-session option name is the client's error -> 400 with the
+    offending name, NOT a silent drop that leaves the session running the
+    full-corpus scan while the client believes it is pool-restricted."""
+    code, r = _req(f"{server}/sessions", "POST",
+                   {"method_kwargs": {"pool_siez": 12}})
+    assert code == 400
+    assert "pool_siez" in r["error"]
 
 
 def test_batch_select_duplicate_ids_no_deadlock(server):

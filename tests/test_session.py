@@ -150,3 +150,32 @@ def test_method_kwargs_non_scalar_fails_fast():
     with pytest.raises(TypeError, match="scalar"):
         ActiveRetrieval(x, length_scale=1.0, cap=16,
                         method_kwargs={"pool_size": [16, 32]})
+
+
+def test_method_kwargs_string_value_fails_fast():
+    """No registered strategy declares a string option; a JSON client's
+    '"n_qmc": "32"' must be rejected at construction, not surface as an
+    opaque trace-time error at the first fetch_unlabelled."""
+    import numpy as np
+    import pytest
+
+    from ital_tpu.models.session import ActiveRetrieval
+
+    x = np.random.default_rng(0).normal(size=(40, 4)).astype(np.float32)
+    with pytest.raises(TypeError, match="scalar"):
+        ActiveRetrieval(x, length_scale=1.0, cap=16,
+                        method_kwargs={"n_qmc": "32"})
+
+
+def test_method_kwargs_unknown_name_fails_fast():
+    """A typo'd option silently dropped would no-op at full cost; the
+    user-facing ctor rejects undeclared names with the valid-names list."""
+    import numpy as np
+    import pytest
+
+    from ital_tpu.models.session import ActiveRetrieval
+
+    x = np.random.default_rng(0).normal(size=(40, 4)).astype(np.float32)
+    with pytest.raises(ValueError, match="pool_siez"):
+        ActiveRetrieval(x, length_scale=1.0, cap=16,
+                        method_kwargs={"pool_siez": 16})
