@@ -196,33 +196,27 @@ def _plot_pool_refine_quality(ax_q, study):
                   ha="center", va="center", fontsize=9, color="#666")
 
 
-def plot_flagship_production():
-    """MAP curves of the flagship ordering at the PRODUCTION config
-    (NOISE_ANALYSIS Finding 5): ital (pool 4096 + two-stage) vs uncertainty
-    sampling, standard and heavy user noise side by side."""
+def _flagship_figure(files_titles, out_png, ital_label, missing_hint,
+                     methods=("ital", "uncertainty_sampling")):
+    """Two-panel (standard/heavy noise) flagship-ordering figure with the
+    paired final-round delta annotated per panel."""
     panels = []
-    for fname, title in (
-        ("mirflickr_methods_italpool.json", "standard noise (lp=.8/mp=.05)"),
-        ("mirflickr_methods_heavynoise_italpool.json",
-         "heavy noise (lp=.6/mp=.15)"),
-    ):
+    for fname, title in files_titles:
         path = os.path.join(RESULTS, fname)
         if os.path.exists(path):
             with open(path) as fh:
                 panels.append((json.load(fh), title))
     if not panels:
-        print("no flagship-production records yet "
-              "(scripts/method_comparison.py --ital-kwargs ...)",
-              file=sys.stderr)
+        print(missing_hint, file=sys.stderr)
         return
 
     fig, axes = plt.subplots(1, len(panels), figsize=(6 * len(panels), 4.4),
                              squeeze=False)
-    labels = {"ital": "ital (production: pool 4096 + two-stage)",
-              "uncertainty_sampling": "uncertainty sampling"}
+    labels = {"ital": ital_label,
+              "uncertainty_sampling": "uncertainty sampling",
+              "random": "random"}
     for ax, (record, title) in zip(axes[0], panels):
-        recs = {labels[m]: record[m] for m in
-                ("ital", "uncertainty_sampling") if m in record}
+        recs = {labels[m]: record[m] for m in methods if m in record}
         _map_panel(ax, recs, list(recs), PALETTE, title)
         import numpy as np
         i = np.asarray(record["ital"]["final_map_by_seed"])
@@ -236,9 +230,41 @@ def plot_flagship_production():
                 transform=ax.transAxes, fontsize=8, color="#333")
 
     fig.tight_layout()
-    out = os.path.join(RESULTS, "flagship_production.png")
+    out = os.path.join(RESULTS, out_png)
     fig.savefig(out, dpi=150)
     print(f"wrote {out}")
+
+
+def plot_flagship_production():
+    """MAP curves of the flagship ordering at the PRODUCTION config
+    (NOISE_ANALYSIS Finding 5): ital (pool 4096 + two-stage) vs uncertainty
+    sampling, standard and heavy user noise side by side."""
+    _flagship_figure(
+        (("mirflickr_methods_italpool.json",
+          "standard noise (lp=.8/mp=.05)"),
+         ("mirflickr_methods_heavynoise_italpool.json",
+          "heavy noise (lp=.6/mp=.15)")),
+        "flagship_production.png",
+        "ital (production: pool 4096 + two-stage)",
+        "no flagship-production records yet "
+        "(scripts/method_comparison.py --ital-kwargs ...)",
+    )
+
+
+def plot_flagship_digits():
+    """The flagship ordering on REAL (non-surrogate) data: scikit-learn's
+    bundled digits corpus (method_comparison.py --dataset digits), both user
+    -noise regimes, random included for context."""
+    _flagship_figure(
+        (("digits_methods.json", "digits — standard noise (lp=.8/mp=.05)"),
+         ("digits_methods_heavynoise.json",
+          "digits — heavy noise (lp=.6/mp=.15)")),
+        "flagship_digits.png",
+        "ital",
+        "no digits records yet "
+        "(scripts/method_comparison.py --dataset digits [--heavy])",
+        methods=("ital", "uncertainty_sampling", "random"),
+    )
 
 
 def plot_pool_refine():
@@ -309,7 +335,7 @@ def plot_pool_refine():
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--only", choices=["pool", "refine", "pool_refine",
-                                           "flagship"])
+                                           "flagship", "digits"])
     args = parser.parse_args(argv)
     if args.only in (None, "pool"):
         plot_pool_tradeoff()
@@ -326,6 +352,8 @@ def main(argv=None) -> int:
             return 1
     if args.only in (None, "flagship"):
         plot_flagship_production()
+    if args.only in (None, "digits"):
+        plot_flagship_digits()
     return 0
 
 
