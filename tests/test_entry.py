@@ -48,6 +48,29 @@ def test_dryrun_multichip_fresh_process():
     assert "MULTICHIP_OK" in out.stdout
 
 
+def test_entry_falls_back_to_cpu_on_dead_backend(monkeypatch):
+    """entry() must yield a CPU compile-check when the chip backend errors
+    out (tunnel outage) instead of crashing the driver gate."""
+    import jax
+
+    import __graft_entry__ as g
+
+    real_devices = jax.devices
+    calls = {"n": 0}
+
+    def flaky_devices(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("UNAVAILABLE (simulated dead tunnel)")
+        return real_devices(*a, **kw)
+
+    monkeypatch.setattr(jax, "devices", flaky_devices)
+    monkeypatch.delenv("ITAL_TPU_PLATFORM", raising=False)
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert len(out[1]) == 4 and calls["n"] >= 1
+
+
 def test_provision_devices_noop_when_enough():
     """With >= n devices already present (conftest's 8 CPU), nothing changes."""
     import jax
