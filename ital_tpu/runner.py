@@ -24,7 +24,7 @@ from ital_tpu.data import datasets as ds_mod
 from ital_tpu.data.user import simulate_feedback
 from ital_tpu.models import gp as gp_mod
 from ital_tpu.select.base import StrategyParams, get_strategy
-from ital_tpu.utils.config import ExperimentConfig
+from ital_tpu.utils.config import ExperimentConfig, apply_matmul_precision
 from ital_tpu.utils.logging import JsonlLogger, Timer, device_mem_mb
 from ital_tpu.utils.metrics import average_precision, recall_at_k
 
@@ -96,6 +96,7 @@ def run_experiment(
     if dataset is None:
         dataset = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
     _check_capacity(cfg)
+    apply_matmul_precision(cfg)
     if cfg.mesh_devices:
         return run_experiment_sharded(cfg, dataset)
     if cfg.query_batch and cfg.query_batch > 1:
@@ -569,6 +570,7 @@ def run_regression_experiment(cfg: ExperimentConfig) -> Dict[str, Any]:
     corpus-wide RMSE of the posterior mean — reported per round.
     """
     _check_capacity(cfg, query_slots=0)
+    apply_matmul_precision(cfg)
     ds = ds_mod.regression_toy(**cfg.dataset_kwargs)
     x = jnp.asarray(ds.x)
     y_true = jnp.asarray(ds.y)

@@ -693,7 +693,9 @@ def make_server(service: RetrievalService, port: int = 0) -> ThreadingHTTPServer
 def service_from_config(cfg) -> RetrievalService:
     """Build a service from an :class:`ExperimentConfig` (dataset + GP + user)."""
     from ital_tpu.data import datasets as ds_mod
+    from ital_tpu.utils.config import apply_matmul_precision
 
+    apply_matmul_precision(cfg)  # trace-time knob — set before any program
     ds = ds_mod.load_dataset(cfg.dataset, **cfg.dataset_kwargs)
     return RetrievalService(
         ds.x,

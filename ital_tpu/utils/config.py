@@ -45,6 +45,16 @@ class GPConfig:
     # modes only (fused/cohort programs keep the pure append; the bigcap
     # path refits every round by construction).
     refit_every: int = 0
+    # XLA matmul precision for every dot in the program ("", the default,
+    # keeps the backend's own default — bf16-multiply on TPU).  "highest"
+    # forces f32-accurate matmuls on TPU: the measured 6e-2-vs-4e-5
+    # TPU-vs-CPU posterior gap is bf16 matmul precision, not a bug
+    # (docs/ARCHITECTURE.md "Long-horizon drift"), and active-learning
+    # trajectories diverge across backends like a seed change
+    # (docs/NOISE_ANALYSIS.md caveats) — this knob is the control when
+    # cross-backend trajectory pairing matters more than speed.  Applied
+    # process-wide by the runner/service at startup.
+    matmul_precision: str = ""
 
 
 @dataclasses.dataclass
@@ -157,4 +167,24 @@ def load_config(path: Optional[str] = None, overrides: tuple[str, ...] = ()) -> 
     if parser.has_section("METHOD"):
         for key, raw in parser["METHOD"].items():
             cfg.method_kwargs[key] = _coerce(raw)
+    if cfg.gp.matmul_precision not in (None, "", "default", "high", "highest"):
+        raise ValueError(
+            f"GP.matmul_precision must be one of default/high/highest (or "
+            f"empty for the backend default), got "
+            f"{cfg.gp.matmul_precision!r}"
+        )
     return cfg
+
+
+def apply_matmul_precision(cfg: ExperimentConfig) -> None:
+    """Apply ``GP.matmul_precision`` process-wide (no-op when unset).
+
+    Called by the runner and the serving daemon at startup: the knob is a
+    trace-time XLA setting, so it must be in force before the experiment's
+    programs are traced.
+    """
+    p = cfg.gp.matmul_precision
+    if p:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", p)

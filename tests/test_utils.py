@@ -149,3 +149,57 @@ def test_all_shipped_configs_load_and_declare_valid_method_kwargs():
                 f"{os.path.basename(path)}: [METHOD] {key} is not an option "
                 f"of strategy {cfg.method!r} ({sorted(params)})"
             )
+
+
+def test_matmul_precision_validation_and_application():
+    """GP.matmul_precision: bad values fail at load; valid ones are applied
+    process-wide by apply_matmul_precision (trace-time XLA knob — the
+    control for the documented bf16-vs-f32 cross-backend trajectory
+    divergence)."""
+    import jax
+    import pytest
+
+    from ital_tpu.utils.config import apply_matmul_precision, load_config
+
+    with pytest.raises(ValueError, match="matmul_precision"):
+        load_config(None, ("GP.matmul_precision=bf17",))
+
+    cfg = load_config(None, ("GP.matmul_precision=highest",))
+    before = jax.config.jax_default_matmul_precision
+    try:
+        apply_matmul_precision(cfg)
+        assert jax.config.jax_default_matmul_precision == "highest"
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)
+
+    # Unset (empty / None after coercion) is a no-op.
+    cfg2 = load_config(None, ("GP.matmul_precision=",))
+    assert cfg2.gp.matmul_precision in (None, "")
+    apply_matmul_precision(cfg2)
+    assert jax.config.jax_default_matmul_precision == before
+
+
+def test_matmul_precision_toy_run_matches_default_on_cpu():
+    """On the CPU backend f32 dots are already exact-precision, so the knob
+    must be behavior-neutral there — this pins the PLUMBING (the runner
+    applies it and the experiment still runs) without claiming a CPU effect;
+    the knob's semantics are a TPU matter (ARCHITECTURE 'Long-horizon
+    drift')."""
+    import jax
+    import numpy as np
+
+    from ital_tpu.runner import run_experiment
+    from ital_tpu.utils.config import load_config
+
+    base = ("EXPERIMENT.repetitions=1", "EXPERIMENT.queries_per_class=1",
+            "EXPERIMENT.n_rounds=2", "DATA.n_per_class=40")
+    before = jax.config.jax_default_matmul_precision
+    try:
+        cfg = load_config("configs/toy.ini", base)
+        r_default = run_experiment(cfg)
+        cfg_hi = load_config("configs/toy.ini",
+                             base + ("GP.matmul_precision=highest",))
+        r_hi = run_experiment(cfg_hi)
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)
+    np.testing.assert_allclose(r_hi["map"], r_default["map"], atol=1e-6)
