@@ -92,12 +92,23 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (same f32 math; never "
                          "competes for the chip lease)")
+    ap.add_argument("--matmul-precision", default="",
+                    choices=("", "default", "high", "highest"),
+                    help="force the XLA matmul precision (the GP."
+                         "matmul_precision knob): on TPU, 'highest' should "
+                         "collapse the measured 6e-2 bf16 reading back to "
+                         "the ~4e-5 exact-f32 floor — the one-command "
+                         "verification of ARCHITECTURE 'Long-horizon "
+                         "drift''s attribution; suffixes the output file")
     args = ap.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
     import jax.numpy as jnp
 
     from ital_tpu.data.datasets import mirflickr
@@ -190,11 +201,14 @@ def main() -> int:
         "seed": args.seed, "strategy": "uncertainty_sampling",
         "user": {"label_prob": lp, "mistake_prob": mp},
         "platform": jax.devices()[0].platform,
+        "matmul_precision": args.matmul_precision or "backend default",
         "hyper": {"length_scale": LS, "var": VAR, "noise": NOISE},
         "wall_s": round(time.time() - t0, 1),
         "rows": rows,
     }
     name = "drift_study_noisy.json" if args.noisy else "drift_study.json"
+    if args.matmul_precision:
+        name = name.replace(".json", f"_{args.matmul_precision}.json")
     path = os.path.join(REPO, "results", name)
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
