@@ -129,6 +129,7 @@ def make_bigcap_round(
     strategy: str = "ital",
     batch_size: int = 4,
     n_qmc: int = 128,
+    block: int = 1024,
     pool_size: int = 0,
     subsample_size: int = 0,
     refine_top: int = 0,
@@ -150,7 +151,7 @@ def make_bigcap_round(
 
     select_body = _make_round_body(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
-        subsample_size=subsample_size, defer_update=True,
+        block=block, subsample_size=subsample_size, defer_update=True,
         refine_top=refine_top, refine_n_qmc=refine_n_qmc,
         randomize_qmc=randomize_qmc,
     )

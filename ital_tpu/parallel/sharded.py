@@ -174,7 +174,8 @@ def local_slot_mask(state: GPState, *, extra_forbid: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _sharded_ital_scores(state, batch, t, params, n_qmc, shift=None):
+def _sharded_ital_scores(state, batch, t, params, n_qmc, shift=None,
+                         block=1024):
     """Local-shard MI scores for greedy step t — the sharded MI scan.
 
     ``shift`` (replicated — every chip must score with the SAME lattice for
@@ -201,7 +202,7 @@ def _sharded_ital_scores(state, batch, t, params, n_qmc, shift=None):
         cross = jnp.zeros((state.x.shape[0], 0), dt)
     return mi_scores_from_moments(
         state.mu, state.sig2 + params.jitter, cross, mu_b, cov_bb, params,
-        t=t, n_qmc=n_qmc, shift=shift,
+        t=t, n_qmc=n_qmc, block=block, shift=shift,
     )
 
 
@@ -591,6 +592,7 @@ def _sharded_ital_pool_greedy(
     refine_top: int = 0,
     refine_n_qmc: int = 512,
     qmc_key: jax.Array | None = None,
+    block: int = 1024,
 ) -> jax.Array:
     """Compact-pool greedy ITAL on the mesh — cost scales with the pool.
 
@@ -645,7 +647,7 @@ def _sharded_ital_pool_greedy(
             cross = jnp.zeros((pp, 0), dt)
         scores = mi_scores_from_moments(
             mu_my, sig2_my, cross, mu_b, cov_bb, params, t=t, n_qmc=n_qmc,
-            shift=shift,
+            block=block, shift=shift,
         )
         scores = jnp.where(
             jax.lax.dynamic_slice(forbid, (start,), (pp,)), neg, scores
@@ -771,6 +773,7 @@ def _check_mi_batch(strategy: str, batch_size: int) -> None:
 
 
 def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
+                     block=1024,
                      *, subsample_size=0, defer_update=False,
                      refine_top=0, refine_n_qmc=512, randomize_qmc=False):
     """The shard-local feedback-round body shared by the per-round and
@@ -822,7 +825,7 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
             batch = _sharded_ital_pool_greedy(
                 state, params, pool_gidx, pool_forbid, batch_size, n_qmc,
                 n_dev, refine_top=refine_top, refine_n_qmc=refine_n_qmc,
-                qmc_key=k_sel if randomize_qmc else None,
+                qmc_key=k_sel if randomize_qmc else None, block=block,
             )
             return _finish_round(state, k_user, batch, relevant, ap_exclude,
                                  params)
@@ -850,7 +853,7 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
                     k_sel if randomize_qmc else None, t, state.mu.dtype
                 )
                 scores = _sharded_ital_scores(state, batch, t, params, n_qmc,
-                                              shift=qmc_shift)
+                                              shift=qmc_shift, block=block)
             elif strategy == "ital_regression":
                 scores = _sharded_regression_scores(state, batch, t, params)
             elif strategy == "emoc":
@@ -938,6 +941,7 @@ def make_sharded_round(
     strategy: str = "ital",
     batch_size: int = 4,
     n_qmc: int = 128,
+    block: int = 1024,
     pool_size: int = 0,
     subsample_size: int = 0,
     refine_top: int = 0,
@@ -958,7 +962,8 @@ def make_sharded_round(
     """
     _check_mi_batch(strategy, batch_size)
     _round = _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size,
-                              recall_ks, subsample_size=subsample_size,
+                              recall_ks, block=block,
+                              subsample_size=subsample_size,
                               refine_top=refine_top,
                               refine_n_qmc=refine_n_qmc,
                               randomize_qmc=randomize_qmc)
@@ -984,6 +989,7 @@ def make_sharded_session(
     batch_size: int = 4,
     n_rounds: int = 10,
     n_qmc: int = 128,
+    block: int = 1024,
     pool_size: int = 0,
     subsample_size: int = 0,
     refine_top: int = 0,
@@ -1012,7 +1018,7 @@ def make_sharded_session(
     _check_mi_batch(strategy, batch_size)
     inner_round = _make_round_body(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=(),
-        subsample_size=subsample_size,
+        block=block, subsample_size=subsample_size,
         refine_top=refine_top, refine_n_qmc=refine_n_qmc,
         randomize_qmc=randomize_qmc,
     )
@@ -1131,6 +1137,7 @@ def make_sharded_cohort(
     batch_size: int = 4,
     n_rounds: int = 10,
     n_qmc: int = 128,
+    block: int = 1024,
     pool_size: int = 0,
     subsample_size: int = 0,
     refine_top: int = 0,
@@ -1158,7 +1165,7 @@ def make_sharded_cohort(
     _check_mi_batch(strategy, batch_size)
     inner_round = _make_round_body(
         mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=(),
-        subsample_size=subsample_size,
+        block=block, subsample_size=subsample_size,
         refine_top=refine_top, refine_n_qmc=refine_n_qmc,
         randomize_qmc=randomize_qmc,
     )

@@ -706,6 +706,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             batch_size=cfg.batch_size,
             n_rounds=cfg.n_rounds,
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
+            block=int(cfg.method_kwargs.get("block", 1024)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
             subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
             refine_top=int(cfg.method_kwargs.get("refine_top", 0)),
@@ -795,6 +796,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             batch_size=cfg.batch_size,
             n_rounds=cfg.n_rounds,
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
+            block=int(cfg.method_kwargs.get("block", 1024)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
             subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
             refine_top=int(cfg.method_kwargs.get("refine_top", 0)),
@@ -814,6 +816,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             strategy=cfg.method,
             batch_size=cfg.batch_size,
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
+            block=int(cfg.method_kwargs.get("block", 1024)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
             subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
             refine_top=int(cfg.method_kwargs.get("refine_top", 0)),
@@ -828,6 +831,7 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
             strategy=cfg.method,
             batch_size=cfg.batch_size,
             n_qmc=int(cfg.method_kwargs.get("n_qmc", 128)),
+            block=int(cfg.method_kwargs.get("block", 1024)),
             pool_size=int(cfg.method_kwargs.get("pool_size", 0)),
             subsample_size=int(cfg.method_kwargs.get("subsample_size", 0)),
             refine_top=int(cfg.method_kwargs.get("refine_top", 0)),

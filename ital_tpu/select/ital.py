@@ -303,6 +303,7 @@ def score_candidates_mi(
     params: StrategyParams,
     *,
     n_qmc: int = 128,
+    block: int = 1024,
     shift: jax.Array | None = None,
 ) -> jax.Array:
     """(N,) mutual information of appending each corpus point to ``batch[:t]``.
@@ -314,7 +315,7 @@ def score_candidates_mi(
     mu_b, cov_bb, cross, sig2 = _joint_posterior(state, batch, t, params.jitter)
     return mi_scores_from_moments(
         state.mu, sig2, cross, mu_b, cov_bb, params, t=t, n_qmc=n_qmc,
-        shift=shift,
+        block=block, shift=shift,
     )
 
 
@@ -441,6 +442,7 @@ def select_ital(
     params: StrategyParams,
     *,
     n_qmc: int = 128,
+    block: int = 1024,
     pool_size: int = 0,
     subsample_size: int = 0,
     refine_top: int = 0,
@@ -465,6 +467,17 @@ def select_ital(
     corpus — the actual cost reduction the reference's restriction exists for
     (it loops over fewer candidates; the round-3 implementation here scored
     all N and masked, reproducing the semantics at zero saving).
+
+    ``block`` is the candidate-streaming width of the MI scan (see
+    :func:`mi_scores_from_moments` — 1024 is profile-tuned FOR n_qmc=128,
+    where larger blocks spill the QMC working set to HBM).  At the
+    production base ``n_qmc=32`` the per-block working set is 4x smaller,
+    so larger blocks fit the same VMEM budget and cut the ``lax.map``
+    sequentialism of the compact-pool scan — a chip-measured knob, not a
+    default change (PROFILE.md section 5's rule: re-measure after every
+    locality change).  Each candidate's chain runs entirely within its
+    block, so scores agree across block sizes to fp associativity (~1 ULP;
+    XLA vectorizes reductions differently per block shape — tested).
 
     ``refine_top > 0`` enables two-stage coarse-to-fine scoring (see
     :func:`refined_pick`): each greedy step re-scores the ``refine_top``
@@ -527,7 +540,7 @@ def select_ital(
         if not refine_top:
             return greedy_argmax_batch(
                 lambda batch, t: score_candidates_mi(
-                    state, batch, t, params, n_qmc=n_qmc,
+                    state, batch, t, params, n_qmc=n_qmc, block=block,
                     shift=_step_shift(qmc_key, t, state.mu.dtype),
                 ),
                 state,
@@ -549,7 +562,7 @@ def select_ital(
             )
             scores = mi_scores_from_moments(
                 state.mu, sig2, cross, mu_b, cov_bb, params, t=t, n_qmc=n_qmc,
-                shift=shift,
+                block=block, shift=shift,
             )
             scores = jnp.where(excluded, neg, scores)
             p = refined_pick(
@@ -562,5 +575,6 @@ def select_ital(
         return batch
     return _select_ital_pool(
         state, batch_size, params, pool_idx, pool_forbid, n_qmc=n_qmc,
-        refine_top=refine_top, refine_n_qmc=refine_n_qmc, qmc_key=qmc_key,
+        block=block, refine_top=refine_top, refine_n_qmc=refine_n_qmc,
+        qmc_key=qmc_key,
     )

@@ -539,3 +539,31 @@ def test_nonzero_shift_changes_scores(rng):
         shift=_step_shift(jax.random.PRNGKey(3), 1, jnp.float32),
     ))
     assert np.abs(shifted - base).max() > 1e-6
+
+
+def test_block_size_is_value_invariant(rng):
+    """The candidate-streaming ``block`` width is a pure locality/perf knob:
+    each candidate's QMC chain runs entirely within its own block, so scores
+    agree across block sizes to fp associativity (~1 ULP — XLA vectorizes
+    reductions differently per block shape; measured 2.4e-7 max) and the
+    selected batches match (this is what licenses chip-side block sweeps at
+    the production n_qmc without re-validating selection semantics)."""
+    state, _ = _fitted_pair(rng, n=70, cap=16)
+    params = StrategyParams(
+        label_prob=jnp.asarray(0.8), mistake_prob=jnp.asarray(0.05)
+    )
+    batch = jnp.zeros((2,), jnp.int32).at[0].set(11)
+    s_small = np.asarray(score_candidates_mi(
+        state, batch, 1, params, n_qmc=16, block=16))
+    s_big = np.asarray(score_candidates_mi(
+        state, batch, 1, params, n_qmc=16, block=4096))
+    np.testing.assert_allclose(s_small, s_big, atol=2e-6, rtol=1e-5)
+
+    key = jax.random.PRNGKey(5)
+    b_small = np.asarray(select_ital(
+        state, 3, key, params, n_qmc=16, block=16,
+        pool_size=24, refine_top=6, refine_n_qmc=32))
+    b_big = np.asarray(select_ital(
+        state, 3, key, params, n_qmc=16, block=4096,
+        pool_size=24, refine_top=6, refine_n_qmc=32))
+    np.testing.assert_array_equal(b_small, b_big)

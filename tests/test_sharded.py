@@ -606,3 +606,31 @@ def test_sharded_subsample_matches_single_device():
         shard_state(state_s, mesh), key, relevant, sel_forbid, ap_exclude, params
     )
     np.testing.assert_array_equal(np.asarray(batch_m), np.asarray(batch_ref))
+
+
+def test_sharded_block_knob_matches_single_device():
+    """The candidate-streaming ``block`` width rides through the sharded
+    builders (runner forwards METHOD.block): a non-default block must pick
+    the same batch as the single-device path at the same block — the knob is
+    locality-only (values agree to ~1 ULP; argmax on a warmed posterior is
+    stable)."""
+    ds, mesh, state0, query, relevant, sel_forbid, ap_exclude, params = (
+        _divisible_setup()
+    )
+    state_s = _warmed_dense(state0, ds, query)
+    key = jax.random.PRNGKey(23)
+    k_sel, _ = jax.random.split(key)
+    batch_ref = select_ital(
+        state_s, 2, k_sel, params, n_qmc=16, block=16, pool_size=24,
+        refine_top=8, refine_n_qmc=64,
+    )
+
+    round_fn = make_sharded_round(
+        mesh, strategy="ital", batch_size=2, n_qmc=16, block=16,
+        pool_size=24, refine_top=8, refine_n_qmc=64,
+    )
+    _, batch_m, _, _ = round_fn(
+        shard_state(state_s, mesh), key, relevant, sel_forbid, ap_exclude,
+        params,
+    )
+    np.testing.assert_array_equal(np.asarray(batch_m), np.asarray(batch_ref))
