@@ -57,7 +57,9 @@ def log_marginal_likelihood(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("steps", "learn_noise", "lr")
+    jax.jit,
+    static_argnames=("steps", "learn_noise", "lr", "prior_strength",
+                     "noise_floor"),
 )
 def fit_hyperparams(
     xl: jax.Array,
@@ -68,12 +70,33 @@ def fit_hyperparams(
     steps: int = 50,
     lr: float = 0.05,
     learn_noise: bool = True,
+    prior_strength: float = 0.0,
+    prior_center: GPHyper | None = None,
+    noise_floor: float = 0.0,
 ) -> GPHyper:
     """Adam ascent of the log marginal likelihood from ``hyper0``.
 
     Returns new hyperparameters (same dtypes); ``learn_noise=False`` pins the
     observation noise and learns only length_scale/var.  The whole loop is one
     ``lax.scan`` — one compilation, reusable every round of every session.
+
+    ``prior_strength > 0`` switches the objective from type-II ML to
+    **MAP type-II**: independent Gaussian priors on the LOG hyperparameters
+    (i.e. log-normal priors, sd = 1/sqrt(prior_strength)) centered at
+    ``prior_center`` (default: ``hyper0`` — callers that relearn repeatedly
+    should pass the SESSION-INITIAL hyperparameters, or the anchor
+    random-walks with the estimate).  Motivation, measured: with tens of
+    ±1 labels of which ~15% are flips, unregularized type-II ML collapses
+    the noise 1.0 → 0.006 (interpolating the flipped labels) and then
+    oscillates (docs/NOISE_ANALYSIS.md Finding 4).  The prior does not
+    encode the right answer — it removes the degenerate collapse direction
+    while leaving the likelihood free to move within a few log-units.
+
+    ``noise_floor > 0`` additionally projects the noise iterate onto
+    ``log(noise) >= log(noise_floor)`` after every step (projected ascent) —
+    the blunt instrument when only the collapse, not the wander, must be
+    prevented.  Both knobs default off; the defaults reproduce plain
+    type-II ML exactly.
     """
     import optax
 
@@ -85,6 +108,15 @@ def fit_hyperparams(
             jnp.log(hyper0.noise.astype(jnp.float32)),
         ]
     )
+    if prior_strength:
+        center = prior_center if prior_center is not None else hyper0
+        theta_c = jnp.stack(
+            [
+                jnp.log(center.length_scale.astype(jnp.float32)),
+                jnp.log(center.var.astype(jnp.float32)),
+                jnp.log(center.noise.astype(jnp.float32)),
+            ]
+        )
     opt = optax.adam(lr)
 
     def unpack(theta):
@@ -94,12 +126,15 @@ def fit_hyperparams(
             noise=jnp.exp(theta[2]).astype(dt),
         )
 
-    def neg_mll(theta):
-        return -log_marginal_likelihood(xl, y, active, unpack(theta))
+    def neg_obj(theta):
+        neg = -log_marginal_likelihood(xl, y, active, unpack(theta))
+        if prior_strength:
+            neg = neg + 0.5 * prior_strength * jnp.sum((theta - theta_c) ** 2)
+        return neg
 
     def step(carry, _):
         theta, opt_state = carry
-        g = jax.grad(neg_mll)(theta)
+        g = jax.grad(neg_obj)(theta)
         if not learn_noise:
             g = g.at[2].set(0.0)
         updates, opt_state = opt.update(g, opt_state, theta)
@@ -107,6 +142,8 @@ def fit_hyperparams(
         # Keep parameters in a sane band: ridiculous length-scales / vanishing
         # noise make the Cholesky ill-conditioned mid-ascent.
         theta = jnp.clip(theta, -7.0, 9.0)
+        if noise_floor:
+            theta = theta.at[2].max(jnp.log(jnp.float32(noise_floor)))
         return (theta, opt_state), None
 
     (theta, _), _ = jax.lax.scan(

@@ -204,6 +204,8 @@ class ActiveRetrieval:
         steps: int = 50,
         lr: float = 0.05,
         learn_noise: bool = True,
+        prior_strength: float = 0.0,
+        noise_floor: float = 0.0,
     ) -> Dict[str, float]:
         """Re-learn GP hyperparameters from this session's labels (type-II ML).
 
@@ -211,7 +213,10 @@ class ActiveRetrieval:
         (:mod:`ital_tpu.models.hyperopt`) and refits the posterior.  Returns
         the new hyperparameters.  The reference fixes hyperparameters per
         dataset; this is the interactive counterpart of the harness's
-        ``GP.learn_every``.
+        ``GP.learn_every``.  ``prior_strength``/``noise_floor`` select the
+        regularized MAP-type-II estimator (anchored at the CURRENT
+        hyperparameters — call it once per session, or keep your own anchor;
+        see ``fit_hyperparams``).
         """
         from ital_tpu.models.hyperopt import fit_hyperparams
 
@@ -219,6 +224,7 @@ class ActiveRetrieval:
         hyper = fit_hyperparams(
             st.x[st.idx], st.y, st.active, st.hyper,
             steps=steps, lr=lr, learn_noise=learn_noise,
+            prior_strength=prior_strength, noise_floor=noise_floor,
         )
         self.state = gp_mod.gp_fit(st.replace(hyper=hyper))
         return {

@@ -43,12 +43,21 @@ from ital_tpu.utils.metrics import average_precision, recall_at_k
 
 class LearnConfig(NamedTuple):
     """Online hyperparameter-learning knobs threaded into fused/cohort device
-    programs (mirrors the ``[GP] learn_*`` config keys; see GPConfig)."""
+    programs (mirrors the ``[GP] learn_*`` config keys; see GPConfig).
+
+    ``prior_strength``/``center`` select MAP type-II (log-normal priors
+    anchored at ``center`` = the config-initial (ls, var, noise) floats);
+    ``noise_floor`` projects the learned noise onto a lower bound.  All
+    plain Python numbers — they close over the traced program as constants,
+    exactly like ``steps``/``lr``."""
 
     every: int
     steps: int = 50
     lr: float = 0.05
     learn_noise: bool = True
+    prior_strength: float = 0.0
+    noise_floor: float = 0.0
+    center: tuple = ()  # (length_scale, var, noise) when prior_strength > 0
 
 
 def pad_to_devices(x, n_dev: int, *, axis: int = 0):
@@ -1056,10 +1065,22 @@ def _fused_session_body(inner_round, n_rounds: int, learn=None):
         from ital_tpu.models.hyperopt import fit_hyperparams
 
         xl = gather_rows(st.x, st.idx)
+        kw = {}
+        if float(learn.prior_strength or 0.0):
+            ls, var, noise = learn.center
+            dt = st.mu.dtype
+            kw["prior_strength"] = float(learn.prior_strength)
+            kw["prior_center"] = gp_mod.GPHyper(
+                length_scale=jnp.asarray(ls, dt),
+                var=jnp.asarray(var, dt),
+                noise=jnp.asarray(noise, dt),
+            )
+        if float(learn.noise_floor or 0.0):
+            kw["noise_floor"] = float(learn.noise_floor)
         hyper = fit_hyperparams(
             xl, st.y, st.active, st.hyper,
             steps=int(learn.steps), lr=float(learn.lr),
-            learn_noise=bool(learn.learn_noise),
+            learn_noise=bool(learn.learn_noise), **kw,
         )
         return gp_mod.gp_fit(
             st.replace(hyper=hyper),

@@ -248,10 +248,32 @@ def _run_session(
     return curve
 
 
+def _learn_kwargs(cfg: ExperimentConfig, dtype) -> Dict[str, Any]:
+    """``fit_hyperparams`` options from the config (one place for all modes).
+
+    The MAP-type-II prior (``GP.learn_prior_strength``) is anchored at the
+    CONFIG's initial hyperparameters, not the current iterate — relearning
+    repeatedly from a random-walking anchor would defeat the prior."""
+    kw: Dict[str, Any] = dict(
+        steps=cfg.gp.learn_steps, lr=cfg.gp.learn_lr,
+        learn_noise=cfg.gp.learn_noise,
+        prior_strength=float(cfg.gp.learn_prior_strength),
+        noise_floor=float(cfg.gp.learn_noise_floor),
+    )
+    if kw["prior_strength"]:
+        kw["prior_center"] = gp_mod.GPHyper(
+            length_scale=jnp.asarray(cfg.gp.length_scale, dtype),
+            var=jnp.asarray(cfg.gp.var, dtype),
+            noise=jnp.asarray(cfg.gp.noise, dtype),
+        )
+    return kw
+
+
 def _relearn_hyperparams(state, cfg: ExperimentConfig, refit=None):
-    """Online type-II ML: re-learn hyperparameters from the session's labels
-    so far, then refit the posterior (models/hyperopt.py).  Shared by the
-    serial and per-round sharded paths — their trajectory equality is tested
+    """Online type-II ML (or MAP type-II when ``GP.learn_prior_strength`` is
+    set): re-learn hyperparameters from the session's labels so far, then
+    refit the posterior (models/hyperopt.py).  Shared by the serial and
+    per-round sharded paths — their trajectory equality is tested
     (tests/test_hyperopt.py), so keep them on this one code path.  ``refit``
     overrides the posterior refit (the large-cap path substitutes its
     distributed chol2d fit)."""
@@ -259,8 +281,7 @@ def _relearn_hyperparams(state, cfg: ExperimentConfig, refit=None):
 
     hyper = fit_hyperparams(
         state.x[state.idx], state.y, state.active, state.hyper,
-        steps=cfg.gp.learn_steps, lr=cfg.gp.learn_lr,
-        learn_noise=cfg.gp.learn_noise,
+        **_learn_kwargs(cfg, state.mu.dtype),
     )
     refit = refit or gp_mod.gp_fit
     return refit(state.replace(hyper=hyper))
@@ -661,7 +682,10 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
 
     learn = (
         LearnConfig(cfg.gp.learn_every, cfg.gp.learn_steps, cfg.gp.learn_lr,
-                    cfg.gp.learn_noise)
+                    cfg.gp.learn_noise,
+                    prior_strength=float(cfg.gp.learn_prior_strength),
+                    noise_floor=float(cfg.gp.learn_noise_floor),
+                    center=(cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise))
         if cfg.gp.learn_every else None
     )
 

@@ -35,6 +35,16 @@ class GPConfig:
     learn_steps: int = 50
     learn_lr: float = 0.05
     learn_noise: bool = True
+    # MAP type-II instead of plain type-II ML: log-normal priors on the
+    # hyperparameters (sd = 1/sqrt(strength) in log space) anchored at THIS
+    # config's initial length_scale/var/noise.  0 (default) = off, the plain
+    # ML estimator.  Motivation: under heavy label noise the unregularized
+    # estimator collapses the noise onto the flipped labels and oscillates
+    # (docs/NOISE_ANALYSIS.md Finding 4); the prior removes the collapse
+    # direction without encoding the "right" value.
+    learn_prior_strength: float = 0.0
+    # Projected ascent: keep the learned noise >= this floor (0 = off).
+    learn_noise_floor: float = 0.0
     # Periodic from-scratch re-factorization: every ``refit_every`` feedback
     # rounds the incremental-append posterior is replaced by a full gp_fit
     # from the label buffers, bounding long-horizon f32 drift.  0 = never —
@@ -167,6 +177,12 @@ def load_config(path: Optional[str] = None, overrides: tuple[str, ...] = ()) -> 
     if parser.has_section("METHOD"):
         for key, raw in parser["METHOD"].items():
             cfg.method_kwargs[key] = _coerce(raw)
+    if cfg.gp.learn_prior_strength < 0 or cfg.gp.learn_noise_floor < 0:
+        raise ValueError(
+            "GP.learn_prior_strength and GP.learn_noise_floor must be >= 0, "
+            f"got {cfg.gp.learn_prior_strength!r} / "
+            f"{cfg.gp.learn_noise_floor!r}"
+        )
     if cfg.gp.matmul_precision not in (None, "", "default", "high", "highest"):
         raise ValueError(
             f"GP.matmul_precision must be one of default/high/highest (or "

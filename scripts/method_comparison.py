@@ -42,7 +42,7 @@ DEFAULT_METHODS = ["ital", "uncertainty_sampling", "random"]
 def run_one(method: str, label_prob: float, mistake_prob: float, seed: int,
             gp_noise: float | None, learn_every: int = 0,
             method_overrides: tuple = (), dataset: str = "mirflickr",
-            query_batch: int = 7):
+            query_batch: int = 7, gp_overrides: tuple = ()):
     from ital_tpu.runner import run_experiment
     from ital_tpu.utils.config import load_config
 
@@ -59,6 +59,7 @@ def run_one(method: str, label_prob: float, mistake_prob: float, seed: int,
         overrides.append(f"GP.noise={gp_noise}")
     if learn_every:
         overrides.append(f"GP.learn_every={learn_every}")
+    overrides += [f"GP.{kv}" for kv in gp_overrides]
     cfg = load_config(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "configs", f"{dataset}.ini"),
@@ -99,6 +100,12 @@ def main() -> int:
                          "'pool_size=4096,n_qmc=32,refine_top=64,"
                          "refine_n_qmc=512' — the NOISE_ANALYSIS Finding-5 "
                          "lever; suffixes the output filename")
+    ap.add_argument("--gp-overrides", default="",
+                    help="comma-separated k=v [GP] overrides applied to ALL "
+                         "methods, e.g. 'learn_prior_strength=1.0,"
+                         "learn_noise_floor=0.05' (the MAP-type-II knobs, "
+                         "NOISE_ANALYSIS Finding 7); suffixes the output "
+                         "filename")
     args = ap.parse_args()
 
     lp, mp = (0.6, 0.15) if args.heavy else (0.8, 0.05)
@@ -119,6 +126,10 @@ def main() -> int:
     if ital_kwargs:
         stem += "_italpool" if any(
             kv.startswith("pool_size") for kv in ital_kwargs) else "_italkw"
+    gp_overrides = tuple(kv for kv in args.gp_overrides.split(",") if kv)
+    if gp_overrides:
+        stem += "_" + "-".join(
+            kv.replace("learn_", "").replace("=", "") for kv in gp_overrides)
     out_name = os.path.join(repo, "results", stem + ".json")
 
     record: dict = {}
@@ -129,7 +140,7 @@ def main() -> int:
             res, wall = run_one(m, lp, mp, seed, args.gp_noise,
                                 args.learn_every,
                                 ital_kwargs if m == "ital" else (),
-                                args.dataset, query_batch)
+                                args.dataset, query_batch, gp_overrides)
             curves.append([round(float(v), 4) for v in res["map"]])
             walls.append(round(wall, 1))
             print(f"   final MAP {res['map'][-1]:.4f} ({wall:.1f}s)", flush=True)
@@ -147,6 +158,7 @@ def main() -> int:
             "user": f"label_prob={lp}, mistake_prob={mp}",
             "gp_noise": args.gp_noise,
             "learn_every": args.learn_every,
+            "gp_overrides": list(gp_overrides),
             "ital_kwargs": list(ital_kwargs) if m == "ital" else [],
             "mode": f"cohort-fused (query_batch={query_batch})",
             "dataset": args.dataset,

@@ -76,6 +76,79 @@ def test_learn_noise_false_pins_noise(rng):
     assert float(h1.noise) == np.float32(0.17)
 
 
+def _flippy(rng, cap=48, d=4, n_act=40):
+    """±1 labels with 15% flips — the NOISE_ANALYSIS Finding-4 regime where
+    plain type-II ML pulls the noise far from its init."""
+    xl = rng.normal(size=(cap, d)).astype(np.float32)
+    y = np.sign(xl[:, 0] + 1e-3).astype(np.float32)
+    y[rng.random(cap) < 0.15] *= -1
+    active = np.arange(cap) < n_act
+    return jnp.asarray(xl), jnp.asarray(y), jnp.asarray(active)
+
+
+def test_map_prior_pulls_toward_center(rng):
+    """MAP type-II: the log-normal prior bounds how far the estimate strays
+    from its anchor; infinite strength pins the anchor exactly."""
+    args = _flippy(rng)
+    h0 = _hyper(2.0, 1.0, 1.0)
+    kw = dict(steps=120, lr=0.08)
+    ml = fit_hyperparams(*args, h0, **kw)
+    map2 = fit_hyperparams(*args, h0, prior_strength=2.0, **kw)
+    pinned = fit_hyperparams(*args, h0, prior_strength=1e4, **kw)
+
+    # ML must actually move the noise for this test to mean anything.
+    d_ml = abs(np.log(float(ml.noise) / 1.0))
+    d_map = abs(np.log(float(map2.noise) / 1.0))
+    assert d_ml > 0.8, float(ml.noise)
+    assert d_map < d_ml, (float(map2.noise), float(ml.noise))
+    for got, want in ((pinned.length_scale, 2.0), (pinned.var, 1.0),
+                      (pinned.noise, 1.0)):
+        np.testing.assert_allclose(float(got), want, rtol=2e-3)
+
+
+def test_map_prior_center_defaults_to_init_and_can_differ(rng):
+    """prior_center defaults to hyper0; an explicit anchor wins over it."""
+    args = _flippy(rng)
+    h0 = _hyper(2.0, 1.0, 1.0)
+    anchored_at_init = fit_hyperparams(
+        *args, h0, steps=60, lr=0.08, prior_strength=1e4
+    )
+    other = _hyper(0.7, 0.5, 0.2)
+    anchored_elsewhere = fit_hyperparams(
+        *args, h0, steps=400, lr=0.08, prior_strength=1e4, prior_center=other
+    )
+    np.testing.assert_allclose(float(anchored_at_init.noise), 1.0, rtol=1e-2)
+    np.testing.assert_allclose(
+        float(anchored_elsewhere.noise), 0.2, rtol=2e-2
+    )
+
+
+def test_noise_floor_is_respected(rng):
+    """Projected ascent: the learned noise never drops below the floor —
+    in a regime where the unregularized estimate provably would."""
+    args = _flippy(rng)
+    h0 = _hyper(2.0, 1.0, 1.0)
+    kw = dict(steps=120, lr=0.08)
+    ml = fit_hyperparams(*args, h0, **kw)
+    floored = fit_hyperparams(*args, h0, noise_floor=0.3, **kw)
+    assert float(ml.noise) < 0.3, float(ml.noise)  # the floor binds
+    assert float(floored.noise) >= 0.3 * (1 - 1e-5), float(floored.noise)
+
+
+def test_regularizers_off_is_bit_identical(rng):
+    """strength=0 must ignore prior_center entirely (the defaults reproduce
+    plain type-II ML bit-for-bit)."""
+    args = _flippy(rng)
+    h0 = _hyper(2.0, 1.0, 1.0)
+    plain = fit_hyperparams(*args, h0, steps=40, lr=0.08)
+    with_center = fit_hyperparams(
+        *args, h0, steps=40, lr=0.08, prior_strength=0.0,
+        prior_center=_hyper(9.0, 9.0, 9.0), noise_floor=0.0,
+    )
+    for f in ("length_scale", "var", "noise"):
+        assert float(getattr(plain, f)) == float(getattr(with_center, f)), f
+
+
 def test_runner_learns_hyperparams(tmp_path):
     """GP.learn_every wired through the serial harness: runs, finite, hypers move."""
     import json
@@ -210,3 +283,48 @@ def test_sharded_cohort_learns_hyperparams():
         mesh_devices=8, fused_sessions=True, query_batch=2
     ))
     np.testing.assert_allclose(cohort["ap"], serial["ap"], atol=2e-3)
+
+
+def _map_learn_cfg(**kw):
+    """_learn_cfg with the MAP-type-II knobs on (prior anchored at the
+    config's initial hyperparameters + a noise floor)."""
+    from ital_tpu.utils.config import GPConfig
+
+    return _learn_cfg(
+        gp=GPConfig(length_scale=1.0, var=1.0, noise=0.1, cap=16,
+                    learn_every=2, learn_steps=20, learn_lr=0.05,
+                    learn_prior_strength=1.0, learn_noise_floor=0.05),
+        **kw,
+    )
+
+
+def test_map_type2_knobs_run_identically_across_modes():
+    """The regularized estimator rides BOTH relearn code paths — the runner's
+    _relearn_hyperparams (serial/fused) and the sharded LearnConfig closure —
+    so their curves must agree, and must differ from the unregularized run
+    (proving the knobs reached the device program)."""
+    from ital_tpu.runner import run_experiment
+
+    serial = run_experiment(_map_learn_cfg())
+    fused = run_experiment(_map_learn_cfg(fused_sessions=True))
+    sharded = run_experiment(_map_learn_cfg(mesh_devices=8,
+                                            fused_sessions=True))
+    np.testing.assert_allclose(fused["ap"], serial["ap"], atol=1e-4)
+    np.testing.assert_allclose(sharded["ap"], serial["ap"], atol=2e-3)
+    plain = run_experiment(_learn_cfg())
+    assert not np.allclose(serial["ap"], plain["ap"])
+
+
+def test_map_type2_config_validation(tmp_path):
+    """Negative regularizer values fail fast at config load."""
+    import pytest
+
+    from ital_tpu.utils.config import load_config
+
+    ini = tmp_path / "bad.ini"
+    ini.write_text(
+        "[EXPERIMENT]\nmethod = ital\ndataset = toy\n"
+        "[GP]\nlearn_prior_strength = -1.0\n"
+    )
+    with pytest.raises(ValueError, match="learn_prior_strength"):
+        load_config(str(ini))
