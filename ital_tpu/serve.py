@@ -37,7 +37,12 @@ API (JSON bodies; examples with ``curl``):
     POST /sessions/<id>/feedback {"labels": {"17": 1, "40": -1}}
                                            (ids shown but absent = skipped)
     GET  /sessions/<id>/ranking?k=20       -> {"top": [..], "scores": [..]}
-    POST /sessions/<id>/learn    {"steps"?: 50}  -> learned hyperparameters
+    POST /sessions/<id>/learn    {"steps"?: 50, "prior_strength"?: 0.0,
+                                  "noise_floor"?: 0.0}
+                                           -> learned hyperparameters
+                                           (MAP type-II when regularized;
+                                           anchored at the session's current
+                                           hyperparameters)
     DELETE /sessions/<id>
 
 Start: ``python -m ital_tpu.serve configs/digits.ini --port 8080``
@@ -489,10 +494,16 @@ class RetrievalService:
         return {"top": [int(i) for i in top],
                 "scores": [round(float(scores[i]), 6) for i in top]}
 
-    def learn(self, sid: str, steps: int = 50) -> dict:
+    def learn(self, sid: str, steps: int = 50, prior_strength: float = 0.0,
+              noise_floor: float = 0.0) -> dict:
+        if prior_strength < 0 or noise_floor < 0:
+            raise ValueError("prior_strength/noise_floor must be >= 0")
         sess, lock = self._entry(sid)
         with lock:
-            return sess.learn_hyperparams(steps=int(steps))
+            return sess.learn_hyperparams(
+                steps=int(steps), prior_strength=float(prior_strength),
+                noise_floor=float(noise_floor),
+            )
 
     def delete(self, sid: str) -> None:
         with self._lock:
@@ -680,7 +691,12 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(blob)
             return None
         if method == "POST" and action == "learn":
-            return self._json(200, svc.learn(sid, int(self._body().get("steps", 50))))
+            body = self._body()
+            return self._json(200, svc.learn(
+                sid, int(body.get("steps", 50)),
+                float(body.get("prior_strength", 0.0)),
+                float(body.get("noise_floor", 0.0)),
+            ))
         return self._json(404, {"error": f"no route {method} {path}"})
 
 

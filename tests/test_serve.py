@@ -66,6 +66,16 @@ def test_full_session_over_http(server):
     code, learned = _req(f"{server}/sessions/{sid}/learn", "POST", {"steps": 20})
     assert code == 200 and learned["length_scale"] > 0
 
+    # Regularized (MAP type-II) learning over the wire: the noise floor binds
+    # the result, and negative regularizers are a 400.
+    code, learned = _req(f"{server}/sessions/{sid}/learn", "POST",
+                         {"steps": 20, "prior_strength": 1.0,
+                          "noise_floor": 0.07})
+    assert code == 200 and learned["noise"] >= 0.07 * (1 - 1e-5), learned
+    code, err = _req(f"{server}/sessions/{sid}/learn", "POST",
+                     {"steps": 5, "prior_strength": -1.0})
+    assert code == 400 and "prior_strength" in err["error"]
+
     code, _ = _req(f"{server}/sessions/{sid}", "DELETE")
     assert code == 200
     code, err = _req(f"{server}/sessions/{sid}/ranking?k=5")
