@@ -100,6 +100,11 @@ def main() -> int:
                          "'pool_size=4096,n_qmc=32,refine_top=64,"
                          "refine_n_qmc=512' — the NOISE_ANALYSIS Finding-5 "
                          "lever; suffixes the output filename")
+    ap.add_argument("--tag", default="",
+                    help="extra output-filename suffix (e.g. 'cpu' to record "
+                         "a same-config run on another backend WITHOUT "
+                         "overwriting the original — ordering claims pair "
+                         "within one backend, docs/NOISE_ANALYSIS.md caveats)")
     ap.add_argument("--gp-overrides", default="",
                     help="comma-separated k=v [GP] overrides applied to ALL "
                          "methods, e.g. 'learn_prior_strength=1.0,"
@@ -130,6 +135,8 @@ def main() -> int:
     if gp_overrides:
         stem += "_" + "-".join(
             kv.replace("learn_", "").replace("=", "") for kv in gp_overrides)
+    if args.tag:
+        stem += f"_{args.tag}"
     out_name = os.path.join(repo, "results", stem + ".json")
 
     record: dict = {}

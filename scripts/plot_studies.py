@@ -332,10 +332,72 @@ def plot_pool_refine():
     print(f"wrote {out}")
 
 
+def plot_hyperopt_rescue():
+    """NOISE_ANALYSIS Finding 7: does REGULARIZED hyperparameter learning
+    (MAP type-II prior / noise floor) rescue the misspecified GP noise init
+    (1.0) under heavy label noise, where plain type-II ML fails (Finding 4)?
+
+    Panel A: ital MAP curves across the five estimator configs (all CPU
+    backend — ordering claims pair within one backend).  Panel B: the
+    flagship ital-vs-uncertainty ordering for the best regularized config,
+    paired stats annotated."""
+    base = "mirflickr_methods_heavynoise_gpnoise1"
+    configs = [
+        (f"{base}_cpu.json", "noise=1.0 fixed (no learning)"),
+        (f"{base}_learn2_cpu.json", "learn (plain type-II ML, Finding 4)"),
+        (f"{base}_learn2_prior_strength1.0.json", "learn + prior (s=1)"),
+        (f"{base}_learn2_noise_floor0.05.json", "learn + floor (0.05)"),
+        (f"{base}_learn2_prior_strength1.0-noise_floor0.05.json",
+         "learn + prior + floor"),
+    ]
+    loaded = []
+    for fname, label in configs:
+        path = os.path.join(RESULTS, fname)
+        if os.path.exists(path):
+            with open(path) as fh:
+                loaded.append((label, fname, json.load(fh)))
+    if len(loaded) < 2:
+        print("not enough hyperopt-rescue records yet "
+              "(scripts/method_comparison.py --heavy --gp-noise 1.0 "
+              "--learn-every 2 --gp-overrides ...)", file=sys.stderr)
+        return
+
+    import numpy as np
+
+    fig, (ax_a, ax_b) = plt.subplots(1, 2, figsize=(12, 4.4))
+    recs = {label: rec["ital"] for label, _, rec in loaded}
+    _map_panel(ax_a, recs, list(recs), PALETTE,
+               "ital under misspecified GP noise init 1.0 (heavy user noise)")
+
+    regularized = [e for e in loaded if "prior" in e[0] or "floor" in e[0]]
+    if regularized:
+        label, _, best = max(
+            regularized, key=lambda e: e[2]["ital"]["map"][-1]
+        )
+        pair = {f"ital ({label})": best["ital"],
+                "uncertainty sampling": best["uncertainty_sampling"]}
+        _map_panel(ax_b, pair, list(pair), [PALETTE[0], PALETTE[2]],
+                   "flagship ordering, best regularized config")
+        i = np.asarray(best["ital"]["final_map_by_seed"])
+        u = np.asarray(best["uncertainty_sampling"]["final_map_by_seed"])
+        d = i - u
+        sd = d.std(ddof=1)
+        t = float(d.mean() / (sd / np.sqrt(len(d)))) if sd > 0 else 0.0
+        ax_b.text(0.02, 0.03,
+                  f"paired final Δ {d.mean():+.4f}, "
+                  f"{int((d > 0).sum())}/{len(d)} wins, t={t:.1f}",
+                  transform=ax_b.transAxes, fontsize=8, color="#333")
+
+    fig.tight_layout()
+    out = os.path.join(RESULTS, "hyperopt_rescue.png")
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--only", choices=["pool", "refine", "pool_refine",
-                                           "flagship", "digits"])
+                                           "flagship", "digits", "rescue"])
     args = parser.parse_args(argv)
     if args.only in (None, "pool"):
         plot_pool_tradeoff()
@@ -354,6 +416,8 @@ def main(argv=None) -> int:
         plot_flagship_production()
     if args.only in (None, "digits"):
         plot_flagship_digits()
+    if args.only in (None, "rescue"):
+        plot_hyperopt_rescue()
     return 0
 
 
