@@ -587,8 +587,14 @@ def run_regression_experiment(cfg: ExperimentConfig) -> Dict[str, Any]:
     No query image: the session starts with an empty labeled set; each round the
     strategy (``ital_regression`` by default, any registered strategy works)
     picks a batch, the simulated user reports the true value with probability
-    ``label_prob`` plus N(0, noise) observation error, and the metric is the
-    corpus-wide RMSE of the posterior mean — reported per round.
+    ``label_prob`` plus N(0, USER.obs_noise) observation error (defaulting to
+    GP.noise — set it differently to create a misspecified model), and the
+    metric is the corpus-wide RMSE of the posterior mean — reported per round.
+
+    ``GP.learn_every`` relearns hyperparameters from the labels collected so
+    far (same cadence/position as the retrieval paths, via
+    ``_relearn_hyperparams`` — the MAP-type-II knobs ride along); the result
+    carries the final learned values under ``"hyper"``.
     """
     _check_capacity(cfg, query_slots=0)
     apply_matmul_precision(cfg)
@@ -603,12 +609,18 @@ def run_regression_experiment(cfg: ExperimentConfig) -> Dict[str, Any]:
         mistake_prob=jnp.asarray(cfg.user.mistake_prob),
     )
 
+    # Generative observation noise is a CONSTANT of the simulation
+    # (USER.obs_noise, defaulting to the config's GP.noise) — never the
+    # model's current hyper.noise, which GP.learn_every may move.
+    gen_sd = jnp.sqrt(jnp.asarray(cfg.user.obs_noise or cfg.gp.noise,
+                                  x.dtype))
+
     @jax.jit
     def round_step(state, key):
         k_sel, k_lab, k_eps = jax.random.split(key, 3)
         batch = select(state, cfg.batch_size, k_sel, params)
         labeled = jax.random.uniform(k_lab, (cfg.batch_size,)) < params.label_prob
-        y_obs = y_true[batch] + jnp.sqrt(state.hyper.noise) * jax.random.normal(
+        y_obs = y_true[batch] + gen_sd * jax.random.normal(
             k_eps, (cfg.batch_size,)
         )
         state = gp_mod.gp_update(state, batch, y_obs, labeled)
@@ -623,14 +635,26 @@ def run_regression_experiment(cfg: ExperimentConfig) -> Dict[str, Any]:
         for rnd in range(cfg.n_rounds):
             state, rmse = round_step(state, jax.random.fold_in(key, rnd))
             curve.append(float(rmse))
+            # Online type-II ML — the task its Gaussian likelihood is
+            # actually specified for (continuous targets; contrast
+            # docs/NOISE_ANALYSIS.md Finding 4's retrieval collapse).
+            if cfg.gp.learn_every and (rnd + 1) % cfg.gp.learn_every == 0:
+                state = _relearn_hyperparams(state, cfg)
         curves.append(curve)
     rmse = np.asarray(curves)
-    return {
+    out: Dict[str, Any] = {
         "rmse": rmse,
         "mean_rmse": rmse.mean(axis=0),
         "dataset": ds.name,
         "method": cfg.method,
     }
+    if cfg.gp.learn_every:
+        out["hyper"] = {  # last repetition's final learned values
+            "length_scale": float(state.hyper.length_scale),
+            "var": float(state.hyper.var),
+            "noise": float(state.hyper.noise),
+        }
+    return out
 
 
 def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Dict[str, Any]:

@@ -71,6 +71,14 @@ class GPConfig:
 class UserConfig:
     label_prob: float = 1.0
     mistake_prob: float = 0.0
+    # Regression task only: variance of the GENERATIVE observation noise the
+    # simulated labeler adds to y_true (0 = default to GP.noise, the
+    # well-specified case).  Setting it differently from GP.noise creates a
+    # misspecified model — the regime GP.learn_every is for on this task
+    # (continuous targets, well-specified Gaussian likelihood; contrast
+    # docs/NOISE_ANALYSIS.md Finding 4).  Kept out of GPConfig on purpose:
+    # the model's belief must never leak into the data-generating process.
+    obs_noise: float = 0.0
 
 
 @dataclasses.dataclass

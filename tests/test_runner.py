@@ -306,6 +306,37 @@ def test_regression_experiment_reduces_rmse():
     assert res["mean_rmse"][-1] <= res_rand["mean_rmse"][-1] + 0.02
 
 
+def test_regression_learning_recovers_misspecified_noise():
+    """GP.learn_every on the regression task — where the Gaussian likelihood
+    IS well-specified (contrast NOISE_ANALYSIS Finding 4's retrieval
+    collapse): starting from a 20x-wrong noise, online type-II ML closes most
+    of the RMSE gap to the well-specified run and descends the noise toward
+    the generative truth.  USER.obs_noise keeps the data-generating noise
+    fixed while the model's belief moves."""
+    import dataclasses
+
+    from ital_tpu.runner import run_regression_experiment
+
+    def run(**gp_kw):
+        cfg = ExperimentConfig(
+            dataset="regression_toy",
+            dataset_kwargs=dict(n=300, dim=2, seed=1, noise=0.0),
+            method="ital_regression", batch_size=4, n_rounds=10,
+            repetitions=2, seed=0,
+            gp=GPConfig(length_scale=1.0, var=1.0, cap=48, **gp_kw),
+            user=UserConfig(label_prob=1.0, obs_noise=0.05),
+        )
+        return run_regression_experiment(cfg)
+
+    fixed = run(noise=1.0)
+    learned = run(noise=1.0, learn_every=2, learn_steps=40)
+    assert "hyper" not in fixed  # only reported when learning is on
+    # Measured: 0.485 fixed vs 0.286 learned (well-specified floor 0.235).
+    assert learned["mean_rmse"][-1] < fixed["mean_rmse"][-1] * 0.75, (
+        learned["mean_rmse"][-1], fixed["mean_rmse"][-1])
+    assert learned["hyper"]["noise"] < 0.2, learned["hyper"]
+
+
 def test_regression_capacity_guard():
     """Regression entry point fails fast when rounds x batch exceed cap
     (advisor round-1 finding: the overflow silently corrupted RMSE)."""
