@@ -394,10 +394,55 @@ def plot_hyperopt_rescue():
     print(f"wrote {out}")
 
 
+def plot_regression_learning():
+    """Hyperparameter learning on the regression task (the well-specified
+    counterpart of NOISE_ANALYSIS Finding 4): RMSE-vs-round curves for the
+    fixed-wrong / learned / well-specified configs, ±1 cross-seed std."""
+    path = os.path.join(RESULTS, "regression_learning.json")
+    if not os.path.exists(path):
+        print("no results/regression_learning.json yet "
+              "(scripts/regression_learning_study.py)", file=sys.stderr)
+        return
+    with open(path) as fh:
+        record = json.load(fh)
+
+    import numpy as np
+
+    labels = {
+        "fixed_wrong": "noise=1.0 fixed (20x wrong)",
+        "learned": "noise=1.0 + learn_every=2",
+        "well_specified": "noise=0.05 (well-specified floor)",
+    }
+    fig, ax = plt.subplots(figsize=(6.5, 4.4))
+    for (name, cfg), color in zip(record["configs"].items(), PALETTE):
+        curves = np.asarray(list(cfg["rmse_curves_by_seed"].values()))
+        rounds = np.arange(1, curves.shape[1] + 1)
+        mean, std = curves.mean(0), curves.std(0)
+        ax.plot(rounds, mean, marker="o", markersize=3, linewidth=2,
+                color=color, label=labels.get(name, name))
+        ax.fill_between(rounds, mean - std, mean + std, color=color,
+                        alpha=0.15, linewidth=0)
+    p = record["paired_fixed_minus_learned"]
+    ax.text(0.02, 0.03,
+            f"paired final Δ(fixed−learned) {p['mean']:+.4f}, "
+            f"{p['wins']}/{p['n']} wins, t={p['t']}",
+            transform=ax.transAxes, fontsize=8, color="#333")
+    ax.set_xlabel("feedback round")
+    ax.set_ylabel(f"corpus RMSE (mean of {p['n']} seeds, band = ±1 std)")
+    ax.set_title("GP regression: type-II ML recovers a misspecified noise")
+    ax.grid(True, alpha=0.3)
+    ax.legend(frameon=False)
+    fig.tight_layout()
+    out = os.path.join(RESULTS, "regression_learning.png")
+    fig.savefig(out, dpi=150)
+    print(f"wrote {out}")
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--only", choices=["pool", "refine", "pool_refine",
-                                           "flagship", "digits", "rescue"])
+                                           "flagship", "digits", "rescue",
+                                           "regression"])
     args = parser.parse_args(argv)
     if args.only in (None, "pool"):
         plot_pool_tradeoff()
@@ -418,6 +463,8 @@ def main(argv=None) -> int:
         plot_flagship_digits()
     if args.only in (None, "rescue"):
         plot_hyperopt_rescue()
+    if args.only in (None, "regression"):
+        plot_regression_learning()
     return 0
 
 
