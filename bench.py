@@ -264,7 +264,44 @@ def _resolve_platform() -> str:
         return jax.devices()[0].platform
 
 
+def _supervised_main() -> int:
+    """Hang-proof entry: run the real bench as a child with a deadline.
+
+    ``_resolve_platform`` handles the tunnel outage mode that ERRORS, but the
+    2026-08-18 outage showed backend setup can HANG in the setup RPC instead
+    — unrecoverable in-process (the hung init holds jax's backend lock, so
+    no CPU fallback can run afterwards).  So: supervise.  The child inherits
+    stdout (the one-JSON-line contract flows through); if it exceeds
+    ``ITAL_TPU_BENCH_TIMEOUT`` seconds (default 2400 — above a cold remote
+    compile + a bad-day lease handoff, far below a multi-hour outage) or
+    fails, it is re-run once with ``ITAL_TPU_PLATFORM=cpu`` for an honest
+    flagged CPU measurement.  Healthy path: ONE backend init, no extra lease
+    handoff.  Direct child/caller-pinned runs skip supervision entirely.
+    """
+    import subprocess
+
+    budget = float(os.environ.get("ITAL_TPU_BENCH_TIMEOUT", 2400))
+    env = dict(os.environ, ITAL_TPU_BENCH_CHILD="1")
+    me = os.path.abspath(__file__)
+    try:
+        if subprocess.run([sys.executable, me], env=env,
+                          timeout=budget).returncode == 0:
+            return 0
+        sys.stderr.write("bench: chip-backend child failed; "
+                         "re-running on the CPU platform\n")
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"bench: chip-backend child exceeded {budget:.0f}s "
+                         "(hang-mode tunnel outage?); re-running on the "
+                         "CPU platform\n")
+    env["ITAL_TPU_PLATFORM"] = "cpu"
+    return subprocess.run([sys.executable, me], env=env,
+                          timeout=budget).returncode
+
+
 def main() -> int:
+    if not (os.environ.get("ITAL_TPU_BENCH_CHILD")
+            or os.environ.get("ITAL_TPU_PLATFORM")):
+        return _supervised_main()
     platform = _resolve_platform()
     rng = np.random.default_rng(7)
     ds = _corpus()

@@ -55,6 +55,54 @@ def test_resolve_platform_falls_back_to_cpu(monkeypatch):
     assert calls["n"] == 2  # errored once, resolved after the fallback
 
 
+def _fake_run(script):
+    """A subprocess.run stand-in driven by a list of outcomes."""
+    calls = []
+
+    def run(cmd, env=None, timeout=None, **kw):
+        calls.append(dict(env or {}))
+        outcome = script[len(calls) - 1]
+        if outcome == "hang":
+            raise subprocess.TimeoutExpired(cmd, timeout)
+
+        class R:
+            returncode = outcome
+
+        return R()
+
+    return run, calls
+
+
+def test_bench_supervisor_falls_back_on_hang(monkeypatch):
+    """The 2026-08-18 outage mode HANGS backend setup (no error to catch, and
+    the hung init holds jax's backend lock in-process) — bench supervises a
+    child with a deadline and re-runs it pinned to CPU on timeout."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    monkeypatch.delenv("ITAL_TPU_PLATFORM", raising=False)
+    monkeypatch.delenv("ITAL_TPU_BENCH_CHILD", raising=False)
+    run, calls = _fake_run(["hang", 0])
+    monkeypatch.setattr(subprocess, "run", run)
+    assert bench.main() == 0
+    assert len(calls) == 2
+    assert "ITAL_TPU_PLATFORM" not in calls[0]  # chip attempt first
+    assert calls[0]["ITAL_TPU_BENCH_CHILD"] == "1"  # no recursion
+    assert calls[1]["ITAL_TPU_PLATFORM"] == "cpu"  # honest CPU re-run
+
+
+def test_bench_supervisor_passthrough_on_success(monkeypatch):
+    sys.path.insert(0, REPO)
+    import bench
+
+    monkeypatch.delenv("ITAL_TPU_PLATFORM", raising=False)
+    monkeypatch.delenv("ITAL_TPU_BENCH_CHILD", raising=False)
+    run, calls = _fake_run([0])
+    monkeypatch.setattr(subprocess, "run", run)
+    assert bench.main() == 0
+    assert len(calls) == 1  # one init, no extra lease handoff
+
+
 def _bench_like_state_and_params(n=300, d=8):
     import jax.numpy as jnp
     import numpy as np
