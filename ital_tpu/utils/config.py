@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import configparser
 import dataclasses
+import warnings
 from typing import Any, Dict, Optional
 
 
@@ -197,7 +198,50 @@ def load_config(path: Optional[str] = None, overrides: tuple[str, ...] = ()) -> 
             f"empty for the backend default), got "
             f"{cfg.gp.matmul_precision!r}"
         )
+    _warn_coarse_mi_lattice(cfg)
     return cfg
+
+
+def _warn_coarse_mi_lattice(cfg: ExperimentConfig) -> None:
+    """Warn loudly when a large MI batch meets a coarse QMC lattice.
+
+    The m-wall is MEASURED (scripts/qmc_error_study.py →
+    results/qmc_error_study.json, docs/PROFILE.md §7): the fixed-lattice MI
+    estimator's true error stays under ~1% of the MI scale through m = 8 at
+    n_qmc = 128, but at m ≥ 7 the measurement recommends n_qmc ≥ 256 at the
+    stage where the greedy decision is made.  A config with batch_size = 7/8
+    and default lattices previously sailed through silently (VERDICT round 4
+    item 8) — this check warns, citing the table, without changing behavior.
+
+    The stage that decides is the refine stage when two-stage scoring is on
+    (``refine_top`` > 0 re-scores the greedy finalists at ``refine_n_qmc``);
+    otherwise the base scan's ``n_qmc``.
+    """
+    if cfg.task != "retrieval" or cfg.batch_size < 7:
+        return
+    try:
+        from ital_tpu.select.base import declared_method_kwargs
+
+        declared = declared_method_kwargs(cfg.method)
+    except Exception:
+        return  # unknown strategy name fails loudly at runner dispatch
+    if "n_qmc" not in declared:
+        return
+    base = int(cfg.method_kwargs.get("n_qmc", 128) or 0)
+    refine_top = int(cfg.method_kwargs.get("refine_top", 0) or 0)
+    refine_n_qmc = int(cfg.method_kwargs.get("refine_n_qmc", 512) or 0)
+    decision_n_qmc = refine_n_qmc if refine_top > 0 else base
+    if decision_n_qmc < 256:
+        warnings.warn(
+            f"batch_size={cfg.batch_size} with a coarse QMC lattice: the "
+            f"greedy decision stage runs at n_qmc={decision_n_qmc}, but the "
+            f"measured accuracy table (results/qmc_error_study.json, "
+            f"docs/PROFILE.md §7) recommends n_qmc >= 256 at m >= 7 (~0.5% "
+            f"MI error vs ~1% at 128).  Raise [METHOD] n_qmc, or enable "
+            f"two-stage scoring (refine_top > 0, refine_n_qmc >= 256) to pay "
+            f"the finer lattice only on the finalists.",
+            stacklevel=2,
+        )
 
 
 def apply_matmul_precision(cfg: ExperimentConfig) -> None:

@@ -203,3 +203,43 @@ def test_matmul_precision_toy_run_matches_default_on_cpu():
     finally:
         jax.config.update("jax_default_matmul_precision", before)
     np.testing.assert_allclose(r_hi["map"], r_default["map"], atol=1e-6)
+
+
+def test_coarse_lattice_warning_at_large_mi_batch():
+    """batch_size >= 7 with a coarse decision-stage lattice warns, citing the
+    measured m-wall (docs/PROFILE.md §7: n_qmc >= 256 recommended at m >= 7);
+    fine lattices — directly or via the refine stage — stay silent, and
+    non-QMC strategies never warn (VERDICT round 4 item 8)."""
+    import warnings
+
+    import ital_tpu.select.ital  # noqa: F401  (populate the registry)
+    from ital_tpu.utils.config import load_config
+
+    def msgs(overrides):
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            load_config(None, overrides)
+        return [str(w.message) for w in rec
+                if "coarse QMC lattice" in str(w.message)]
+
+    # Default n_qmc=128 at m=7: warn.
+    assert msgs(("EXPERIMENT.batch_size=7",))
+    # Explicit coarse base scan at m=8: warn.
+    assert msgs(("EXPERIMENT.batch_size=8", "METHOD.n_qmc=64"))
+    # Fine base lattice: silent.
+    assert not msgs(("EXPERIMENT.batch_size=7", "METHOD.n_qmc=256"))
+    # Two-stage with a fine refine stage decides at refine_n_qmc: silent.
+    assert not msgs((
+        "EXPERIMENT.batch_size=7", "METHOD.n_qmc=32",
+        "METHOD.refine_top=64", "METHOD.refine_n_qmc=512",
+    ))
+    # ... but a coarse refine stage still warns.
+    assert msgs((
+        "EXPERIMENT.batch_size=7", "METHOD.n_qmc=512",
+        "METHOD.refine_top=64", "METHOD.refine_n_qmc=128",
+    ))
+    # Small batches and non-QMC strategies: silent.
+    assert not msgs(("EXPERIMENT.batch_size=6",))
+    assert not msgs((
+        "EXPERIMENT.batch_size=8", "EXPERIMENT.method=uncertainty_sampling",
+    ))
