@@ -784,7 +784,8 @@ def _check_mi_batch(strategy: str, batch_size: int) -> None:
 def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
                      block=1024,
                      *, subsample_size=0, defer_update=False,
-                     refine_top=0, refine_n_qmc=512, randomize_qmc=False):
+                     refine_top=0, refine_n_qmc=512, randomize_qmc=False,
+                     select_only=False):
     """The shard-local feedback-round body shared by the per-round and
     fused-session entry points (call only inside ``shard_map``).
 
@@ -798,12 +799,22 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
     Cranley-Patterson lattice shifts derived from the round's selection key —
     the sharded mirror of ``select_ital(qmc_key=k_sel)``, picking the
     identical batch (the key is replicated, so every chip shifts the same
-    way; tested in tests/test_sharded.py)."""
+    way; tested in tests/test_sharded.py).
+
+    ``select_only=True`` is the interactive-serving mode: the body stops at
+    the greedy batch (no simulated user, no update, no metrics) and the key
+    is used DIRECTLY as the selection key (no internal split), so a session
+    driving it with the same key stream as the single-device
+    ``ActiveRetrieval.fetch_unlabelled`` picks identical batches (tested in
+    tests/test_serve_sharded.py).  ``relevant``/``ap_exclude`` are unused."""
 
     n_dev = mesh.size
 
     def _round(state, key, relevant, sel_forbid, ap_exclude, params):
-        k_sel, k_user = jax.random.split(key)
+        if select_only:
+            k_sel, k_user = key, None
+        else:
+            k_sel, k_user = jax.random.split(key)
 
         # --- greedy selection with collective argmax ---
         pad_local = _sel_forbid_local(state, sel_forbid)
@@ -836,6 +847,8 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
                 n_dev, refine_top=refine_top, refine_n_qmc=refine_n_qmc,
                 qmc_key=k_sel if randomize_qmc else None, block=block,
             )
+            if select_only:
+                return batch
             return _finish_round(state, k_user, batch, relevant, ap_exclude,
                                  params)
         if strategy == "rbmal":
@@ -900,6 +913,8 @@ def _make_round_body(mesh, strategy, batch_size, n_qmc, pool_size, recall_ks,
                 forbid[jnp.clip(rel_pos, 0, shard_n - 1)] | owned
             )
 
+        if select_only:
+            return batch
         return _finish_round(state, k_user, batch, relevant, ap_exclude, params)
 
     def _finish_round(state, k_user, batch, relevant, ap_exclude, params):
@@ -987,6 +1002,117 @@ def make_sharded_round(
             check_vma=False,
         )
         return fn(state, key, relevant, sel_forbid, ap_exclude, params)
+
+    return jax.jit(wrapped)
+
+
+def make_sharded_select(
+    mesh,
+    *,
+    strategy: str = "ital",
+    batch_size: int = 4,
+    n_qmc: int = 128,
+    block: int = 1024,
+    pool_size: int = 0,
+    subsample_size: int = 0,
+    refine_top: int = 0,
+    refine_n_qmc: int = 512,
+    randomize_qmc: bool = False,
+):
+    """Interactive SELECT-ONLY step on the mesh (the sharded serving surface).
+
+    Returns ``select_fn(state, key, sel_forbid, params) -> batch`` with
+    ``batch`` the replicated ``(batch_size,)`` global indices.  Unlike the
+    experiment round, the key is used DIRECTLY as the selection key (no
+    internal split): a session feeding it the same key stream as the
+    single-device ``ActiveRetrieval.fetch_unlabelled`` selects identical
+    batches — the serving parity test relies on this.  ``sel_forbid`` is a
+    replicated (N,) bool mask of rows that must never be selected (corpus
+    padding; labeled slots are excluded internally like every other path).
+    """
+    _check_mi_batch(strategy, batch_size)
+    body = _make_round_body(
+        mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=(),
+        block=block, subsample_size=subsample_size, refine_top=refine_top,
+        refine_n_qmc=refine_n_qmc, randomize_qmc=randomize_qmc,
+        select_only=True,
+    )
+
+    def _select(state, key, sel_forbid, params):
+        return body(state, key, None, sel_forbid, None, params)
+
+    def wrapped(state, key, sel_forbid, params):
+        specs = state_pspecs(state)
+        fn = jax.shard_map(
+            _select, mesh=mesh,
+            in_specs=(specs, P(), P(), _PARAM_PSPECS),
+            out_specs=P(), check_vma=False,
+        )
+        return fn(state, key, sel_forbid, params)
+
+    return jax.jit(wrapped)
+
+
+def make_sharded_update(mesh):
+    """Jitted sharded ``gp_update`` for REAL feedback (serving): absorb a
+    labeled block on the mesh without the experiment round's simulated user.
+    ``(state, idx, y, valid) -> state``; feature rows cross chips via the
+    same collective gather the round body uses."""
+
+    def _update(state, idx, y, valid):
+        return gp_mod.gp_update(
+            state, idx, y, valid,
+            gather=lambda gidx: gather_rows(state.x, gidx),
+        )
+
+    def wrapped(state, idx, y, valid):
+        specs = state_pspecs(state)
+        fn = jax.shard_map(
+            _update, mesh=mesh, in_specs=(specs, P(), P(), P()),
+            out_specs=specs, check_vma=False,
+        )
+        return fn(state, idx, y, valid)
+
+    return jax.jit(wrapped)
+
+
+def make_sharded_set_query(mesh):
+    """Jitted sharded ``gp_set_query`` (query counts as a +1 label):
+    ``(state, query_idx) -> state``."""
+
+    def _setq(state, q):
+        return gp_mod.gp_set_query(
+            state, q, gather=lambda gidx: gather_rows(state.x, gidx)
+        )
+
+    def wrapped(state, q):
+        specs = state_pspecs(state)
+        fn = jax.shard_map(
+            _setq, mesh=mesh, in_specs=(specs, P()), out_specs=specs,
+            check_vma=False,
+        )
+        return fn(state, q)
+
+    return jax.jit(wrapped)
+
+
+def make_sharded_fit(mesh):
+    """Jitted sharded from-scratch refit (``gp_fit`` with collective gather)
+    — the serving ``/learn`` endpoint's posterior rebuild after a
+    hyperparameter change.  ``(state,) -> state``."""
+
+    def _fit(state):
+        return gp_mod.gp_fit(
+            state, gather=lambda gidx: gather_rows(state.x, gidx)
+        )
+
+    def wrapped(state):
+        specs = state_pspecs(state)
+        fn = jax.shard_map(
+            _fit, mesh=mesh, in_specs=(specs,), out_specs=specs,
+            check_vma=False,
+        )
+        return fn(state)
 
     return jax.jit(wrapped)
 

