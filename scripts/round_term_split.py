@@ -37,7 +37,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -57,18 +56,18 @@ def _write(report: dict, out: str = OUT) -> None:
 
 
 def _measure(label: str, fn, state) -> dict:
-    """(first_call_s, slope_ms) for a jitted ``(state, key) -> out`` term."""
-    import jax
+    """(first_call_s, slope_ms) for a jitted ``(state, key) -> out`` term.
 
-    from scripts.timing_protocol import pipeline_slope_ms
+    Uses measure_select (the canonical first/slope split).  The protocol's
+    final fetch is ONE SCALAR of the last output — essential here: terms
+    returning the updated state (update, round_serve, round_full) would
+    otherwise ship the full corpus through the tunnel per trial (51 MB at
+    25k, 2 GB at 1M), and that transfer's variance produced the negative
+    slopes of the first (discarded) run of this study.
+    """
+    from scripts.timing_protocol import measure_select
 
-    t0 = time.perf_counter()
-    out = fn(state, jax.random.PRNGKey(0))
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
-    first_s = time.perf_counter() - t0
-    key0 = jax.random.PRNGKey(1)
-    slope = pipeline_slope_ms(
-        fn, lambda r: (state, jax.random.fold_in(key0, r)))
+    first_s, slope = measure_select(fn, state)
     rec = {"first_call_s": round(first_s, 2), "slope_ms": round(slope, 3)}
     print(f"   {label}: {rec['slope_ms']} ms (first {first_s:.2f}s)",
           flush=True)

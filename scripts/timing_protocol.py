@@ -18,20 +18,40 @@ import time
 import numpy as np
 
 
-def pipeline_ms(fn, args_fn, reps: int, trials: int = 3) -> float:
-    """Wall ms for ``reps`` asynchronously-dispatched calls + one final fetch
-    (best of ``trials`` — guards against ambient contention on the shared
-    chip).  ``args_fn(i)`` must return fresh args per call so nothing caches.
+def _final_fetch(out) -> None:
+    """Await the dispatched pipeline by fetching ONE SCALAR of the last call.
+
+    The fetch must be tiny: every jit output is fully materialized on device
+    regardless of what the host reads (no dead-code risk — DCE is decided by
+    what the jitted fn RETURNS, not by what the host fetches), but fetching a
+    large leaf ships it through the ~30 ms tunnel, and that transfer's
+    variance swamps sub-ms slopes.  Measured failure mode: the first
+    round_term_split run fetched ``tree_leaves(out)[0]`` — the full corpus
+    ``x`` for state-returning terms (51 MB at 25k, 2 GB at 1M) — and produced
+    NEGATIVE slopes and an 18.5 ms "update" against a 1.66 ms full round.
+    Device-stream ordering makes the scalar gather await all prior work.
     """
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    if getattr(leaf, "ndim", 0):
+        leaf = leaf[(0,) * leaf.ndim]
+    np.asarray(leaf)
+
+
+def pipeline_ms(fn, args_fn, reps: int, trials: int = 3) -> float:
+    """Wall ms for ``reps`` asynchronously-dispatched calls + one final
+    scalar fetch (best of ``trials`` — guards against ambient contention on
+    the shared chip).  ``args_fn(i)`` must return fresh args per call so
+    nothing caches.
+    """
     best = np.inf
     for trial in range(trials):
         t0 = time.perf_counter()
         out = None
         for r in range(reps):
             out = fn(*args_fn(trial * 1000 + r))
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        _final_fetch(out)
         best = min(best, time.perf_counter() - t0)
     return best * 1e3
 
@@ -58,7 +78,7 @@ def measure_select(select, state, *, reps_lo: int = 4, reps_hi: int = 12,
 
     t0 = time.perf_counter()
     out = select(state, jax.random.PRNGKey(0))
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    _final_fetch(out)
     first_s = time.perf_counter() - t0
     key0 = jax.random.PRNGKey(1)
     slope = pipeline_slope_ms(
