@@ -25,7 +25,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K = 8  # cohort size
-CORPUS = os.environ.get("SERVE_TP_CORPUS", "digits")  # digits | mirflickr
+CORPUS = os.environ.get("SERVE_TP_CORPUS", "digits")  # digits|mirflickr|corpus100k
+# SERVE_TP_MESH=N serves through the mesh-sharded service (corpus padded and
+# sharded over an N-device mesh, ShardedRetrieval sessions) — the round-5
+# sharded-serving throughput record (round-4 VERDICT weak 6).  N=1 on the
+# real chip measures the shard_map serving path's overhead vs the plain
+# service at the same scale.
+MESH = int(os.environ.get("SERVE_TP_MESH", "0") or "0")
 
 
 def _req(url, method="GET", body=None):
@@ -37,11 +43,13 @@ def _req(url, method="GET", body=None):
 
 
 def main() -> int:
-    from ital_tpu.data.datasets import digits, mirflickr
+    from ital_tpu.data.datasets import corpus100k, digits, mirflickr
     from ital_tpu.serve import RetrievalService, make_server
 
     if CORPUS == "mirflickr":
         ds, ls = mirflickr(), 50.0
+    elif CORPUS == "corpus100k":
+        ds, ls = corpus100k(), 50.0  # scripts/profile_100k.py conventions
     else:
         ds, ls = digits(), 2.2
     # SERVE_TP_FASTSEL=1 serves the round-4 production selection config
@@ -52,7 +60,7 @@ def main() -> int:
     svc = RetrievalService(
         ds.x, length_scale=ls, var=1.0, noise=0.1, cap=64,
         strategy="ital", label_prob=0.9, mistake_prob=0.05,
-        corpus_name=CORPUS, method_kwargs=mkw,
+        corpus_name=CORPUS, method_kwargs=mkw, mesh_devices=MESH,
     )
     srv = make_server(svc, port=0)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
@@ -126,9 +134,12 @@ def main() -> int:
         "full_round_speedup": round(round_indiv_ms / round_cohort_ms, 2),
     }
     report["method_kwargs"] = mkw
+    report["mesh_devices"] = MESH
+    report["platform"] = __import__("jax").devices()[0].platform
     stem = ("serve_throughput" if CORPUS == "digits"
             else f"serve_throughput_{CORPUS}")
-    name = stem + ("_fastsel" if mkw else "") + ".json"
+    name = (stem + (f"_mesh{MESH}" if MESH else "")
+            + ("_fastsel" if mkw else "") + ".json")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "results", name)
     with open(out, "w") as fh:
