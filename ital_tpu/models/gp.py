@@ -83,6 +83,13 @@ class GPState:
     # baselines — compute once per dataset via ``corpus_density`` and attach
     # with ``state.replace(density=...)``.
     density: Optional[jax.Array] = None
+    # Cached corpus squared row norms (N,), computed once by ``gp_init``.
+    # Every corpus-side kernel block reuses them instead of re-reading the
+    # whole (N, D) feature matrix for its norm pass — at 1M x 512 that pass
+    # is 2 GB (~2.5 ms of the 13.3 ms measured gp_update slope,
+    # results/round_term_split.json).  Optional so restored/hand-built states
+    # without it still work (kernels fall back to recomputing).
+    x2: Optional[jax.Array] = None
 
     @property
     def active(self) -> jax.Array:
@@ -129,6 +136,7 @@ def gp_init(
         mu=jnp.zeros((n,), dt),
         sig2=jnp.full((n,), var, dt),
         hyper=hyper,
+        x2=jnp.sum(x * x, axis=-1),
     )
 
 
@@ -152,7 +160,7 @@ def gp_fit(state: GPState, *, gather: Optional[GatherFn] = None) -> GPState:
     k_ll = rbf_kernel(xl, xl, h.length_scale, h.var)
     l = chol_ops.padded_cholesky(k_ll, active, h.noise)
 
-    k_l_all = rbf_kernel(xl, state.x, h.length_scale, h.var)  # (cap, N)
+    k_l_all = rbf_kernel(xl, state.x, h.length_scale, h.var, b2=state.x2)  # (cap, N)
     k_l_all = jnp.where(active[:, None], k_l_all, 0.0)
     v = chol_ops.tri_solve(l, k_l_all)
     beta = chol_ops.tri_solve(l, jnp.where(active, state.y, 0.0)[:, None])[:, 0]
@@ -226,7 +234,7 @@ def gp_update(
     )
 
     # Extend whitened quantities by the same block.
-    k_b_all = rbf_kernel(xb, state.x, h.length_scale, h.var)  # (b, N)
+    k_b_all = rbf_kernel(xb, state.x, h.length_scale, h.var, b2=state.x2)  # (b, N)
     k_b_all = jnp.where(new_valid[:, None], k_b_all, 0.0)
     stv = jnp.dot(s.T, state.v, preferred_element_type=jnp.float32).astype(state.x.dtype)
     v_b = chol_ops.tri_solve(l_b, k_b_all - stv)  # (b, N)
@@ -295,7 +303,8 @@ def gp_posterior_cov_columns(state: GPState, ind: jax.Array) -> jax.Array:
     baselines and by ITAL's joint candidate/batch covariance assembly.
     """
     xi = state.x[ind]
-    k_cross = rbf_kernel(state.x, xi, state.hyper.length_scale, state.hyper.var)
+    k_cross = rbf_kernel(state.x, xi, state.hyper.length_scale, state.hyper.var,
+                         a2=state.x2)
     return k_cross - jnp.dot(
         state.v.T, state.v[:, ind], preferred_element_type=jnp.float32
     ).astype(state.x.dtype)

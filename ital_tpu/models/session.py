@@ -29,7 +29,26 @@ from ital_tpu.select.base import StrategyParams, get_strategy
 # the difference is ~1.2 s vs ~40 ms per request (round-3 serving
 # measurement, results/serve_throughput.json).
 _jit_set_query = jax.jit(gp_mod.gp_set_query)
-_jit_update = jax.jit(gp_mod.gp_update)
+# The update CONSUMES the session's posterior buffers (callers always rebind
+# ``self.state``), so donate them: XLA then extends the (cap, N) whitened
+# buffer ``v`` in place instead of copying it per update — ~0.25 GB of HBM
+# traffic at 1M x 512 x cap=64, where gp_update dominates the serving round
+# (results/round_term_split.json).  Only the per-session OWNED leaves are
+# donated: the corpus ``x`` (and ``density``/``x2``) is one device-resident
+# array SHARED by every session over the same dataset (serve.py), and
+# donating a shared buffer invalidates every other holder's reference on
+# backends that honor donation (TPU does; CPU silently ignores it, so CPU
+# tests cannot catch that bug — split the args instead of trusting them).
+# ``x``/``hyper``/``density``/``x2`` pass through gp_update untouched, so
+# they cost no copy without donation either.
+_UPDATE_OWNED = ("idx", "y", "valid", "count", "l", "beta", "v", "mu", "sig2")
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _update_donated(owned, x, hyper, density, x2, b_idx, b_y, b_valid):
+    st = gp_mod.GPState(x=x, hyper=hyper, density=density, x2=x2, **owned)
+    new = gp_mod.gp_update(st, b_idx, b_y, b_valid)
+    return {f: getattr(new, f) for f in _UPDATE_OWNED}
 
 # Feedback blocks are padded up to a multiple of this width (valid=False on
 # the pad slots — mathematically absent, but they do consume capacity slots
@@ -166,9 +185,13 @@ class ActiveRetrieval:
         y[: len(feedback)] = [0 if v is None else int(v)
                               for v in feedback.values()]
         valid = y != 0
-        self.state = _jit_update(
-            self.state, jnp.asarray(idx), jnp.asarray(y), jnp.asarray(valid)
+        st = self.state
+        new_owned = _update_donated(
+            {f: getattr(st, f) for f in _UPDATE_OWNED},
+            st.x, st.hyper, st.density, st.x2,
+            jnp.asarray(idx), jnp.asarray(y), jnp.asarray(valid),
         )
+        self.state = st.replace(**new_owned)
 
     def scores(self) -> np.ndarray:
         """Relevance scores (GP posterior mean) for the whole corpus."""

@@ -18,17 +18,31 @@ import jax
 import jax.numpy as jnp
 
 
-def sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
+def sqdist(
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    a2: Optional[jax.Array] = None,
+    b2: Optional[jax.Array] = None,
+) -> jax.Array:
     """Pairwise squared Euclidean distances between rows of ``a`` (M,D) and ``b`` (N,D).
 
     Uses the expansion ``||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b`` so the dominant
     cost is a single (M,D)x(D,N) matmul on the MXU.  Clamped at zero against
     cancellation error.
+
+    ``a2`` / ``b2`` optionally supply PRECOMPUTED squared row norms ((M,) /
+    (N,)).  When one side is the whole HBM-resident corpus, recomputing its
+    norms costs a full ``N x D`` read per call — at 1M x 512 that second 2 GB
+    pass was ~2.5 ms of the measured 13.3 ms ``gp_update`` slope
+    (results/round_term_split.json); ``GPState.x2`` caches them once at init.
     """
-    a2 = jnp.sum(a * a, axis=-1, keepdims=True)  # (M, 1)
-    b2 = jnp.sum(b * b, axis=-1, keepdims=True).T  # (1, N)
+    if a2 is None:
+        a2 = jnp.sum(a * a, axis=-1)  # (M,)
+    if b2 is None:
+        b2 = jnp.sum(b * b, axis=-1)  # (N,)
     ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
-    return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+    return jnp.maximum(a2[:, None] + b2[None, :] - 2.0 * ab, 0.0)
 
 
 def rbf_kernel(
@@ -36,14 +50,18 @@ def rbf_kernel(
     b: jax.Array,
     length_scale: jax.Array | float,
     var: jax.Array | float = 1.0,
+    *,
+    a2: Optional[jax.Array] = None,
+    b2: Optional[jax.Array] = None,
 ) -> jax.Array:
     """RBF (squared-exponential) kernel block ``var * exp(-||a-b||^2 / (2 ls^2))``.
 
     Matches the reference kernel (``italia/gp.py :: GaussianProcess``) exactly;
     the noise term is NOT included here — it is added on the labeled diagonal by
-    the Cholesky fit (:mod:`ital_tpu.ops.chol`).
+    the Cholesky fit (:mod:`ital_tpu.ops.chol`).  ``a2``/``b2``: optional
+    precomputed squared row norms (see :func:`sqdist`).
     """
-    d2 = sqdist(a, b)
+    d2 = sqdist(a, b, a2=a2, b2=b2)
     return var * jnp.exp(-d2 / (2.0 * length_scale**2))
 
 

@@ -96,6 +96,7 @@ def state_pspecs(state: GPState) -> GPState:
         mu=P(ax), sig2=P(ax),
         hyper=gp_mod.GPHyper(length_scale=P(), var=P(), noise=P()),
         density=None if state.density is None else P(ax),
+        x2=None if state.x2 is None else P(ax),
     )
 
 
@@ -200,7 +201,8 @@ def _sharded_ital_scores(state, batch, t, params, n_qmc, shift=None,
         mu_b = gather_scalars(state.mu, bsel)  # (t,) replicated
         k_bb = rbf_kernel(xb, xb, h.length_scale, h.var)
         cov_bb = k_bb - vb.T @ vb + params.jitter * jnp.eye(t, dtype=state.mu.dtype)
-        k_cb = rbf_kernel(state.x, xb, h.length_scale, h.var)  # (shard_n, t)
+        k_cb = rbf_kernel(state.x, xb, h.length_scale, h.var,
+                          a2=state.x2)  # (shard_n, t)
         cross = k_cb - jnp.dot(
             state.v.T, vb, preferred_element_type=jnp.float32
         ).astype(state.mu.dtype)
@@ -344,7 +346,8 @@ def _sharded_emoc_batch_scores(
     vb = gather_cols(state.v, bsel)  # (cap, t) replicated
     mu_b = gather_scalars(state.mu, bsel)  # (t,) replicated
     cov_bb = rbf_kernel(xb, xb, h.length_scale, h.var) - vb.T @ vb
-    k_bc = rbf_kernel(xb, state.x, h.length_scale, h.var)  # (t, shard_n)
+    k_bc = rbf_kernel(xb, state.x, h.length_scale, h.var,
+                      b2=state.x2)  # (t, shard_n)
     cross = k_bc - jnp.dot(
         vb.T, state.v, preferred_element_type=jnp.float32
     ).astype(state.mu.dtype)
@@ -463,7 +466,8 @@ def _sharded_max_sim_to_labeled(state: GPState) -> jax.Array:
     from ital_tpu.ops.kernels import rbf_kernel
 
     xl = gather_rows(state.x, state.idx)  # (cap, D) replicated
-    sims = rbf_kernel(state.x, xl, state.hyper.length_scale, 1.0)  # (n_loc, cap)
+    sims = rbf_kernel(state.x, xl, state.hyper.length_scale, 1.0,
+                      a2=state.x2)  # (n_loc, cap)
     sims = jnp.where(state.active[None, :], sims, -jnp.inf)
     return jnp.max(sims, axis=1)
 
@@ -473,7 +477,7 @@ def _sharded_batch_max_sim(state: GPState, batch: jax.Array, t: int) -> jax.Arra
     from ital_tpu.ops.kernels import rbf_kernel
 
     xb = gather_rows(state.x, batch[:t])  # (t, D) replicated
-    sims = rbf_kernel(state.x, xb, state.hyper.length_scale, 1.0)
+    sims = rbf_kernel(state.x, xb, state.hyper.length_scale, 1.0, a2=state.x2)
     return jnp.max(sims, axis=1)
 
 
@@ -539,7 +543,8 @@ def _sharded_regression_scores(
             - vb.T @ vb
             + (noise + params.jitter) * jnp.eye(t, dtype=state.mu.dtype)
         )
-        k_cb = rbf_kernel(state.x, xb, h.length_scale, h.var)  # (n_loc, t)
+        k_cb = rbf_kernel(state.x, xb, h.length_scale, h.var,
+                          a2=state.x2)  # (n_loc, t)
         cross = k_cb - jnp.dot(
             state.v.T, vb, preferred_element_type=jnp.float32
         ).astype(state.mu.dtype)
@@ -713,7 +718,8 @@ def _sharded_density_local(state: GPState, pad_local: jax.Array) -> jax.Array:
 
     def acc_fn(acc, blk):
         xb, valid_b = blk
-        k = rbf_kernel(xb, state.x, h.length_scale, 1.0)  # (blk_n, n_loc)
+        k = rbf_kernel(xb, state.x, h.length_scale, 1.0,
+                       b2=state.x2)  # (blk_n, n_loc)
         return (
             acc[0] + jnp.sum(k * valid_b[:, None], axis=0),
             acc[1] + jnp.sum(valid_b),
@@ -1248,6 +1254,7 @@ def _cohort_state_axes(learn: bool = False) -> GPState:
         x=None, idx=0, y=0, valid=0, count=0, l=0, beta=0, v=0, mu=0, sig2=0,
         hyper=hyper,
         density=None,
+        x2=None,
     )
 
 
@@ -1264,6 +1271,7 @@ def cohort_pspecs(state: GPState) -> GPState:
         mu=P(None, ax), sig2=P(None, ax),
         hyper=gp_mod.GPHyper(length_scale=P(), var=P(), noise=P()),
         density=None if state.density is None else P(ax),
+        x2=None if state.x2 is None else P(ax),
     )
 
 

@@ -376,6 +376,7 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
         x=None, idx=0, y=0, valid=0, count=0, l=0, beta=0, v=0, mu=0, sig2=0,
         hyper=hyper_axes,
         density=None,  # shared (unbatched) when present
+        x2=None,  # shared corpus norms, unbatched
     )
 
     # The template state is shared (in_axes None); batching enters through the

@@ -61,7 +61,8 @@ def _density(state: GPState) -> jax.Array:
 def _max_sim_to_labeled(state: GPState) -> jax.Array:
     """(N,) max RBF similarity of each point to any currently-labeled point."""
     xl = state.x[state.idx]
-    sims = rbf_kernel(state.x, xl, state.hyper.length_scale, 1.0)  # (N, cap)
+    sims = rbf_kernel(state.x, xl, state.hyper.length_scale, 1.0,
+                      a2=state.x2)  # (N, cap)
     active = state.active
     sims = jnp.where(active[None, :], sims, -jnp.inf)
     return jnp.max(sims, axis=1)
@@ -137,7 +138,8 @@ def _diversity_greedy(state, batch_size, base_scores, weight):
         sim = sim_lab
         if t > 0:
             xb = state.x[batch[:t]]
-            sims = rbf_kernel(state.x, xb, state.hyper.length_scale, 1.0)
+            sims = rbf_kernel(state.x, xb, state.hyper.length_scale, 1.0,
+                              a2=state.x2)
             sim = jnp.maximum(sim, jnp.max(sims, axis=1))
         return base_scores - weight * sim
 
@@ -177,7 +179,8 @@ def select_rbmal(state, batch_size, key, params: StrategyParams):
         sim = sim_lab
         if t > 0:
             xb = state.x[batch[:t]]
-            sims = rbf_kernel(state.x, xb, state.hyper.length_scale, 1.0)
+            sims = rbf_kernel(state.x, xb, state.hyper.length_scale, 1.0,
+                              a2=state.x2)
             sim = jnp.maximum(sim, jnp.max(sims, axis=1))
         return alpha * (1.0 - sim) + (1.0 - alpha) * unc
 

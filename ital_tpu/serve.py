@@ -104,6 +104,7 @@ def _stack_gpstates(sts):
             noise=stack([t.hyper.noise for t in sts]),
         ),
         density=sts[0].density,  # shared, unbatched (may be None)
+        x2=sts[0].x2,  # shared corpus norms, unbatched (may be None)
     )
 
 
@@ -363,6 +364,7 @@ class RetrievalService:
                 x=None, idx=0, y=0, valid=0, count=0, l=0, beta=0, v=0,
                 mu=0, sig2=0,
                 hyper=GPHyper(length_scale=0, var=0, noise=0), density=None,
+                x2=None,
             )
             from ital_tpu.select.base import filter_method_kwargs
 
@@ -507,6 +509,7 @@ class RetrievalService:
                 x=None, idx=0, y=0, valid=0, count=0, l=0, beta=0, v=0,
                 mu=0, sig2=0,
                 hyper=GPHyper(length_scale=0, var=0, noise=0), density=None,
+                x2=None,
             )
             update_v = jax.vmap(
                 gp_mod.gp_update, in_axes=(axes_state, 0, 0, 0),
@@ -532,6 +535,7 @@ class RetrievalService:
                         # cohorts (code-review round 4) — density plays no
                         # role here, so mixed cohorts batch freely.
                         density=sts[j].density,
+                        x2=sts[0].x2,  # shared corpus norms
                     )
                     for j in range(len(sts))
                 )

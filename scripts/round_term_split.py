@@ -74,6 +74,64 @@ def _measure(label: str, fn, state) -> dict:
     return rec
 
 
+def _measure_chain(label: str, make_fn, state, *, donate: bool,
+                   reps_lo: int = 4, reps_hi: int = 12, trials: int = 3) -> dict:
+    """Pipeline slope of a CHAINED ``st = fn(st, key)`` update loop.
+
+    ``measure_select`` re-passes the same input state every rep, which is the
+    right shape for selection (a pure function of the round's state) but NOT
+    for the serving update loop, where each update consumes the previous
+    state — and where buffer donation (session.py round 5) lets XLA extend
+    the (cap, N) whitened buffer in place instead of copying it.  Donation is
+    only legal when each input is used once, so this protocol chains the
+    carry like the real loop does, restarting from a fresh on-device COPY of
+    ``state`` per trial (the copy is forced resident before t0).  The
+    donate=False variant is the same chain without donation — the paired
+    difference isolates the donation copy.
+    """
+    import jax
+    import jax.numpy as jnp
+    import time as _time
+
+    fn = jax.jit(make_fn, donate_argnums=(0,) if donate else ())
+
+    def run(reps: int) -> float:
+        best = np.inf
+        for trial in range(trials):
+            st = jax.tree_util.tree_map(jnp.copy, state)
+            np.asarray(st.mu[0])  # copy resident before the clock starts
+            key0 = jax.random.PRNGKey(100 + trial)
+            t0 = _time.perf_counter()
+            for r in range(reps):
+                st = fn(st, jax.random.fold_in(key0, r))
+            _measure_scalar(st)
+            best = min(best, _time.perf_counter() - t0)
+        return best * 1e3
+
+    # First call compiles (timed alone, reported separately).
+    st0 = jax.tree_util.tree_map(jnp.copy, state)
+    np.asarray(st0.mu[0])
+    t0 = _time.perf_counter()
+    st0 = fn(st0, jax.random.PRNGKey(0))
+    _measure_scalar(st0)
+    first_s = _time.perf_counter() - t0
+    lo, hi = run(reps_lo), run(reps_hi)
+    slope = (hi - lo) / (reps_hi - reps_lo)
+    rec = {"first_call_s": round(first_s, 2), "slope_ms": round(slope, 3)}
+    print(f"   {label}: {rec['slope_ms']} ms (first {first_s:.2f}s)",
+          flush=True)
+    return rec
+
+
+def _measure_scalar(st) -> None:
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(st)[-1]
+    if getattr(leaf, "ndim", 0):
+        leaf = leaf[(0,) * leaf.ndim]
+    np.asarray(leaf)
+
+
 def _terms_for(state, relevant, exclude, params) -> dict:
     import jax
     import jax.numpy as jnp
@@ -186,8 +244,21 @@ def run_scale_1m(report: dict, out: str = OUT) -> None:
 
     params = bench.bench_params()
     terms = _terms_for(state, relevant, exclude, params)
-    report["scale_1m"] = {
-        name: _measure(name, fn, state) for name, (fn,) in terms.items()}
+    rec = {name: _measure(name, fn, state) for name, (fn,) in terms.items()}
+
+    # Chained update loop (the serving shape): donated vs copied carry.
+    # Max labels consumed: 8 warm + 12 reps x b=4 = 56 < cap=64.
+    def _chain_update(st, key):
+        idx = jax.random.randint(key, (bench.BATCH,), 0, ds.n)
+        y = jnp.where(relevant[idx], 1.0, -1.0)
+        return gp_mod.gp_update(st, idx, y,
+                                jnp.ones((bench.BATCH,), bool))
+
+    rec["update_chain_donate"] = _measure_chain(
+        "update_chain_donate", _chain_update, state, donate=True)
+    rec["update_chain_copy"] = _measure_chain(
+        "update_chain_copy", _chain_update, state, donate=False)
+    report["scale_1m"] = rec
     _write(report, out)
 
 
@@ -196,6 +267,7 @@ def main() -> int:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-1m", action="store_true")
+    ap.add_argument("--skip-25k", action="store_true")
     ap.add_argument("--out", default=OUT, help="record path (off-path for "
                     "non-chip smoke runs; the committed record is the chip one)")
     args = ap.parse_args()
@@ -207,7 +279,8 @@ def main() -> int:
         "select_config": dict(bench.select_kwargs(), pool_size=POOL),
         "batch": bench.BATCH, "cap": bench.CAP,
     }
-    run_scale_25k(report, args.out)
+    if not args.skip_25k:
+        run_scale_25k(report, args.out)
     if not args.skip_1m:
         run_scale_1m(report, args.out)
     return 0
