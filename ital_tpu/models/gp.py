@@ -111,14 +111,33 @@ def gp_init(
     var: float,
     noise: float,
     cap: int,
+    *,
+    corpus_dtype: Optional[str] = None,
 ) -> GPState:
     """Fresh GP over corpus ``x`` with an empty labeled set.
 
     Reference parity: ``GaussianProcess.__init__`` minus the eager N x N kernel
     precomputation (deliberately dropped — see module docstring).
+
+    ``corpus_dtype`` (e.g. ``"bfloat16"``) stores the CORPUS in a narrower
+    dtype while the posterior buffers (``v``/``mu``/``sig2``/...) keep the
+    input dtype: on TPU the default f32 matmul already multiplies in bf16
+    passes (docs/ARCHITECTURE.md "Long-horizon drift"), so bf16 corpus
+    storage costs little extra precision on the MXU cross-kernels while
+    halving both the dominant HBM read of gp_update (the (N, D) corpus
+    stream) and the corpus footprint per chip.  ``x2`` norms are computed in
+    f32 from the STORED values, so self-distances stay exactly zero.  Note
+    ``GP.matmul_precision=highest`` cannot restore f32 inputs once the
+    corpus is stored bf16 — pick one or the other.
     """
     n = x.shape[0]
-    dt = x.dtype
+    # Posterior-state dtype, independent of the corpus storage: at least f32
+    # even when the corpus arrives pre-quantized (the serving layer casts its
+    # one shared copy ONCE and every session init sees bf16 input).
+    dt = jnp.promote_types(x.dtype, jnp.float32)
+    if corpus_dtype is not None:
+        x = x.astype(jnp.dtype(corpus_dtype))
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     hyper = GPHyper(
         length_scale=jnp.asarray(length_scale, dt),
         var=jnp.asarray(var, dt),
@@ -136,7 +155,7 @@ def gp_init(
         mu=jnp.zeros((n,), dt),
         sig2=jnp.full((n,), var, dt),
         hyper=hyper,
-        x2=jnp.sum(x * x, axis=-1),
+        x2=jnp.sum(xf * xf, axis=-1),
     )
 
 
@@ -165,7 +184,7 @@ def gp_fit(state: GPState, *, gather: Optional[GatherFn] = None) -> GPState:
     v = chol_ops.tri_solve(l, k_l_all)
     beta = chol_ops.tri_solve(l, jnp.where(active, state.y, 0.0)[:, None])[:, 0]
 
-    mu = jnp.dot(v.T, beta, preferred_element_type=jnp.float32).astype(state.x.dtype)
+    mu = jnp.dot(v.T, beta, preferred_element_type=jnp.float32).astype(state.mu.dtype)
     sig2 = jnp.maximum(h.var - jnp.sum(v * v, axis=0), 1e-8)
     return state.replace(l=l, beta=beta, v=v, mu=mu, sig2=sig2)
 
@@ -179,7 +198,7 @@ def gp_set_query(
     a relevant (+1) annotation (SURVEY.md section 3.1).
     """
     cap = state.cap
-    dt = state.x.dtype
+    dt = state.mu.dtype
     state = state.replace(
         idx=jnp.zeros((cap,), jnp.int32).at[0].set(query_idx.astype(jnp.int32)),
         y=jnp.zeros((cap,), dt).at[0].set(1.0),
@@ -220,7 +239,7 @@ def gp_update(
     b = new_idx.shape[0]
     active_old = state.active
     new_idx = new_idx.astype(jnp.int32)
-    new_y = jnp.where(new_valid, new_y, 0.0).astype(state.x.dtype)
+    new_y = jnp.where(new_valid, new_y, 0.0).astype(state.mu.dtype)
 
     xl = _labeled_features(state, gather)  # (cap, D) current slots
     xb = state.x[new_idx] if gather is None else gather(new_idx)  # (b, D)
@@ -236,12 +255,12 @@ def gp_update(
     # Extend whitened quantities by the same block.
     k_b_all = rbf_kernel(xb, state.x, h.length_scale, h.var, b2=state.x2)  # (b, N)
     k_b_all = jnp.where(new_valid[:, None], k_b_all, 0.0)
-    stv = jnp.dot(s.T, state.v, preferred_element_type=jnp.float32).astype(state.x.dtype)
+    stv = jnp.dot(s.T, state.v, preferred_element_type=jnp.float32).astype(state.mu.dtype)
     v_b = chol_ops.tri_solve(l_b, k_b_all - stv)  # (b, N)
     beta_b = chol_ops.tri_solve(
         l_b,
         (new_y - jnp.dot(s.T, state.beta,
-                         preferred_element_type=jnp.float32).astype(state.x.dtype)
+                         preferred_element_type=jnp.float32).astype(state.mu.dtype)
          )[:, None],
     )[:, 0]
 
@@ -249,7 +268,7 @@ def gp_update(
     beta = jax.lax.dynamic_update_slice(state.beta, beta_b, (state.count,))
     mu = state.mu + jnp.dot(
         v_b.T, beta_b, preferred_element_type=jnp.float32
-    ).astype(state.x.dtype)
+    ).astype(state.mu.dtype)
     sig2 = jnp.maximum(state.sig2 - jnp.sum(v_b * v_b, axis=0), 1e-8)
 
     return state.replace(
@@ -291,7 +310,7 @@ def gp_predict_full(state: GPState, ind: jax.Array) -> tuple[jax.Array, jax.Arra
     k_ii = rbf_kernel(xi, xi, state.hyper.length_scale, state.hyper.var)
     vi = state.v[:, ind]
     cov = k_ii - jnp.dot(vi.T, vi, preferred_element_type=jnp.float32).astype(
-        state.x.dtype
+        state.mu.dtype
     )
     return state.mu[ind], cov
 
@@ -307,7 +326,7 @@ def gp_posterior_cov_columns(state: GPState, ind: jax.Array) -> jax.Array:
                          a2=state.x2)
     return k_cross - jnp.dot(
         state.v.T, state.v[:, ind], preferred_element_type=jnp.float32
-    ).astype(state.x.dtype)
+    ).astype(state.mu.dtype)
 
 
 def corpus_density(state: GPState, *, block_rows: int = 2048) -> jax.Array:
@@ -367,7 +386,7 @@ def gp_updated_whitening(
     h = state.hyper
     _, cov = gp_predict_full(state, ind)  # (k, k) posterior block
     cross = gp_posterior_cov_columns(state, ind).T  # (k, N)
-    resid = y_hyp.astype(state.x.dtype) - state.mu[ind]
+    resid = y_hyp.astype(state.mu.dtype) - state.mu[ind]
     if valid is None:
         valid = jnp.ones(ind.shape[0], bool)
     cross = jnp.where(valid[:, None], cross, 0.0)
@@ -394,7 +413,7 @@ def gp_updated_prediction(
     """
     g, w = gp_updated_whitening(state, ind, y_hyp, valid)
     mu = state.mu + jnp.dot(w.T, g, preferred_element_type=jnp.float32).astype(
-        state.x.dtype
+        state.mu.dtype
     )
     sig2 = jnp.maximum(state.sig2 - jnp.sum(w * w, axis=0), 1e-8)
     return mu, sig2

@@ -104,9 +104,11 @@ class ActiveRetrieval:
         with_density: bool = False,
         seed: int = 0,
         method_kwargs: Optional[dict] = None,
+        corpus_dtype: Optional[str] = None,
     ):
         x = jnp.asarray(x)
-        self.state = gp_mod.gp_init(x, length_scale, var, noise, cap)
+        self.state = gp_mod.gp_init(x, length_scale, var, noise, cap,
+                                    corpus_dtype=corpus_dtype or None)
         if with_density:
             self.state = self.state.replace(density=gp_mod.corpus_density(self.state))
         self.strategy_name = strategy

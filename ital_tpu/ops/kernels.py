@@ -37,10 +37,17 @@ def sqdist(
     pass was ~2.5 ms of the measured 13.3 ms ``gp_update`` slope
     (results/round_term_split.json); ``GPState.x2`` caches them once at init.
     """
+    # Norms accumulate in (at least) f32 regardless of the storage dtype:
+    # with a bf16-stored corpus (GP.corpus_dtype) a bf16 norm sum would lose
+    # ~3 decimal digits on D~512 features, while the matmul below already
+    # accumulates in f32 via preferred_element_type.
+    nt = jnp.promote_types(a.dtype, jnp.float32)
     if a2 is None:
-        a2 = jnp.sum(a * a, axis=-1)  # (M,)
+        af = a.astype(nt)
+        a2 = jnp.sum(af * af, axis=-1)  # (M,)
     if b2 is None:
-        b2 = jnp.sum(b * b, axis=-1)  # (N,)
+        bf = b.astype(nt)
+        b2 = jnp.sum(bf * bf, axis=-1)  # (N,)
     ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
     return jnp.maximum(a2[:, None] + b2[None, :] - 2.0 * ab, 0.0)
 

@@ -32,8 +32,13 @@ def _rbf_tile_kernel(a_ref, b_ref, inv2l2_ref, var_ref, out_ref):
         a, b, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (TM, TN)
-    a2 = jnp.sum(a * a, axis=1, keepdims=True)
-    b2 = jnp.sum(b * b, axis=1, keepdims=True).T
+    # Norms in f32 even for bf16-stored corpora (GP.corpus_dtype): the MXU
+    # contraction above already accumulates f32; a bf16 VPU norm sum would
+    # not, and self-distances would stop cancelling to zero.
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    a2 = jnp.sum(af * af, axis=1, keepdims=True)
+    b2 = jnp.sum(bf * bf, axis=1, keepdims=True).T
     d2 = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
     out_ref[:] = var_ref[0, 0] * jnp.exp(-d2 * inv2l2_ref[0, 0])
 
@@ -99,9 +104,16 @@ def rbf_kernel_pallas(
 def rbf_kernel_auto(a, b, length_scale, var=1.0):
     """Fused Pallas tile kernel on TPU for large blocks; lax elsewhere.
 
-    The Pallas path wins when the (M, N) output is big enough to amortize tile
-    padding (both dims >= 512); the corpus-wide kernels of the GP fit/update
-    and the density/EMOC streams qualify, per-candidate small blocks do not.
+    Chip-measured routing (results/pallas_ab.json, PROFILE.md §11,
+    2026-08-19): the Pallas path wins on the REDUCE-ABS consumers — the
+    (N, 2048) EMOC/entropy cross-kernel blocks of
+    ``ops.kernels.blockwise_reduce_abs_kpost`` and
+    ``select/baselines.py`` — 2.2x at N=25k (1.54 vs 3.46 ms/block) and
+    1.12x at N=100k (4.57 vs 5.11).  It LOSES 2.1x on the row-mean density
+    stream at 100k (XLA fuses the mean into the lax kernel; pallas_call must
+    write its tile), so ``models/gp.py::corpus_density`` deliberately calls
+    the lax path and does NOT route here.  Small per-candidate blocks
+    (< 512 on either dim) can't amortize tile padding — lax.
     """
     if (
         jax.default_backend() == "tpu"

@@ -109,7 +109,8 @@ def run_experiment(
         return run_experiment_fused(cfg, dataset)
     x = jnp.asarray(dataset.x)
 
-    state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap)
+    state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap,
+                              corpus_dtype=cfg.gp.corpus_dtype or None)
     if cfg.method in DENSITY_STRATEGIES:
         state0 = state0.replace(density=gp_mod.corpus_density(state0))
 
@@ -349,7 +350,8 @@ def run_experiment_vmapped(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
               "(drift measured benign - ARCHITECTURE.md) and ignore it")
     x = jnp.asarray(dataset.x)
     n = dataset.n
-    state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap)
+    state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap,
+                              corpus_dtype=cfg.gp.corpus_dtype or None)
     if cfg.method in DENSITY_STRATEGIES:
         state0 = state0.replace(density=gp_mod.corpus_density(state0))
 
@@ -536,7 +538,8 @@ def run_experiment_fused(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Dict
               "fused/cohort device programs keep the pure incremental append "
               "(drift measured benign - ARCHITECTURE.md) and ignore it")
     x = jnp.asarray(dataset.x)
-    state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap)
+    state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap,
+                              corpus_dtype=cfg.gp.corpus_dtype or None)
     if cfg.method in DENSITY_STRATEGIES:
         state0 = state0.replace(density=gp_mod.corpus_density(state0))
     params = StrategyParams(
@@ -603,7 +606,8 @@ def run_regression_experiment(cfg: ExperimentConfig) -> Dict[str, Any]:
     x = jnp.asarray(ds.x)
     y_true = jnp.asarray(ds.y)
 
-    state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap)
+    state0 = gp_mod.gp_init(x, cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap,
+                              corpus_dtype=cfg.gp.corpus_dtype or None)
     select = get_strategy(cfg.method)
     params = StrategyParams(
         label_prob=jnp.asarray(cfg.user.label_prob),
@@ -614,7 +618,7 @@ def run_regression_experiment(cfg: ExperimentConfig) -> Dict[str, Any]:
     # (USER.obs_noise, defaulting to the config's GP.noise) — never the
     # model's current hyper.noise, which GP.learn_every may move.
     gen_sd = jnp.sqrt(jnp.asarray(cfg.user.obs_noise or cfg.gp.noise,
-                                  x.dtype))
+                                  state0.mu.dtype))
 
     @jax.jit
     def round_step(state, key):
@@ -685,7 +689,8 @@ def run_experiment_sharded(cfg: ExperimentConfig, dataset: ds_mod.Dataset) -> Di
     pad_mask = jnp.arange(n_pad) >= n_real
 
     state0 = gp_mod.gp_init(
-        jnp.asarray(x_pad), cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap
+        jnp.asarray(x_pad), cfg.gp.length_scale, cfg.gp.var, cfg.gp.noise, cfg.cap,
+        corpus_dtype=cfg.gp.corpus_dtype or None,
     )
     if cfg.method in DENSITY_STRATEGIES:
         # Ring-pass density over the mesh (== single-device corpus_density on

@@ -288,7 +288,7 @@ def select_emoc_batch(state, batch_size, key, params: StrategyParams):
             g, w = gp_updated_whitening(state, ind, y_hyp)
             mu_h = state.mu + jnp.dot(
                 w.T, g, preferred_element_type=jnp.float32
-            ).astype(state.x.dtype)
+            ).astype(state.mu.dtype)
             sig2_h = jnp.maximum(state.sig2 - jnp.sum(w * w, axis=0), 1e-8)
             v_aug = jnp.concatenate([state.v, w], axis=0)
         colabs = blockwise_reduce_abs_kpost(

@@ -138,6 +138,7 @@ class RetrievalService:
         corpus_name: str = "corpus",
         method_kwargs: Optional[dict] = None,
         mesh_devices: int = 0,
+        corpus_dtype: str = "",
     ):
         import jax
         import jax.numpy as jnp
@@ -145,7 +146,11 @@ class RetrievalService:
         # One device-resident copy shared by ALL sessions: gp_init stores x
         # as-is when it is already a jax Array, so sessions share this buffer
         # instead of each POST /sessions re-transferring the corpus.
+        # GP.corpus_dtype: quantize the one shared copy HERE, once — gp_init
+        # keeps an already-narrow corpus as-is (state buffers stay f32).
         x_np = np.asarray(x, np.float32)
+        if corpus_dtype and corpus_dtype != "float32":
+            x_np = x_np.astype(jnp.dtype(corpus_dtype))
         self.mesh = None
         self.n_real = int(x_np.shape[0])
         if mesh_devices:
@@ -791,6 +796,7 @@ def service_from_config(cfg, *, mesh_devices: int = 0) -> RetrievalService:
         method_kwargs={k: v for k, v in cfg.method_kwargs.items()
                        if k != "tradeoff"},
         mesh_devices=mesh_devices,
+        corpus_dtype=cfg.gp.corpus_dtype,
     )
 
 

@@ -53,9 +53,9 @@ def load_session(path: str, template: GPState) -> tuple[GPState, Dict[str, np.nd
     state = template.replace(
         **kwargs,
         hyper=template.hyper.replace(
-            length_scale=jnp.asarray(ls, template.x.dtype),
-            var=jnp.asarray(var, template.x.dtype),
-            noise=jnp.asarray(noise, template.x.dtype),
+            length_scale=jnp.asarray(ls, template.mu.dtype),
+            var=jnp.asarray(var, template.mu.dtype),
+            noise=jnp.asarray(noise, template.mu.dtype),
         ),
     )
     if "density" in blob:

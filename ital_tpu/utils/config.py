@@ -66,6 +66,14 @@ class GPConfig:
     # cross-backend trajectory pairing matters more than speed.  Applied
     # process-wide by the runner/service at startup.
     matmul_precision: str = ""
+    # Corpus STORAGE dtype ("" = keep the dataset's dtype, i.e. float32).
+    # "bfloat16" halves the corpus HBM footprint and the dominant (N, D)
+    # corpus read of gp_update/gp_fit; on TPU the default matmul already
+    # multiplies in bf16 passes, so the extra quantization is input-side
+    # only (norms stay f32 — ops/kernels.py).  Mutually exclusive with
+    # matmul_precision="highest": storage quantization cannot be undone by
+    # a higher matmul precision.
+    corpus_dtype: str = ""
 
 
 @dataclasses.dataclass
@@ -197,6 +205,20 @@ def load_config(path: Optional[str] = None, overrides: tuple[str, ...] = ()) -> 
             f"GP.matmul_precision must be one of default/high/highest (or "
             f"empty for the backend default), got "
             f"{cfg.gp.matmul_precision!r}"
+        )
+    if cfg.gp.corpus_dtype not in ("", "float32", "bfloat16"):
+        raise ValueError(
+            f"GP.corpus_dtype must be empty, float32 or bfloat16, got "
+            f"{cfg.gp.corpus_dtype!r}"
+        )
+    if cfg.gp.corpus_dtype == "bfloat16" and cfg.gp.matmul_precision == "highest":
+        warnings.warn(
+            "GP.corpus_dtype=bfloat16 with GP.matmul_precision=highest: the "
+            "corpus is quantized at STORAGE, so the highest-precision matmul "
+            "cannot recover f32 inputs — you pay the slow matmul without the "
+            "precision.  Pick one: bf16 storage (halved HBM) or highest "
+            "precision (f32-accurate cross-kernels).",
+            stacklevel=2,
         )
     _warn_coarse_mi_lattice(cfg)
     return cfg
