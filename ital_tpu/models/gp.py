@@ -336,16 +336,22 @@ def corpus_density(state: GPState, *, block_rows: int = 2048) -> jax.Array:
     ``italia/baseline_methods.py``).  Depends only on the features, so callers
     should compute it once per dataset and reuse it.  Blockwise — never
     materializes N x N at once.
+
+    Routing (measured): the lax path, NOT the Pallas tile kernel — XLA fuses
+    the row-mean into the kernel stream, while ``pallas_call`` must write the
+    (block, N) tile to HBM first: chip A/B at N=100k measured the Pallas route
+    2.1x SLOWER here (2.55 vs 5.27 ms/block — results/pallas_ab.json,
+    PROFILE.md §11).  The cached ``x2`` norms ride along as ``a2``/``b2``.
     """
     from ital_tpu.ops.blocking import blocked_map
-    from ital_tpu.ops.pallas_rbf import rbf_kernel_auto
 
     x = state.x
     return blocked_map(
-        lambda blk: jnp.mean(
-            rbf_kernel_auto(blk, x, state.hyper.length_scale, 1.0), axis=1
+        lambda blk, blk2: jnp.mean(
+            rbf_kernel(blk, x, state.hyper.length_scale, 1.0,
+                       a2=blk2, b2=state.x2), axis=1
         ),
-        (x,),
+        (x, state.x2),
         block=block_rows,
     )
 

@@ -97,15 +97,18 @@ def run_scale(report: dict, n: int, out: str, *, mat_reps=(2, 6)) -> None:
 
     def idx_args(r):
         # Fresh candidate block per dispatch so nothing is loop-invariant.
+        # x/v ride along as ARGUMENTS: closure capture would lower them as
+        # 2.3 GB of embedded constants at 1M, which the remote compile
+        # service rejects (broken pipe, observed 2026-08-19).
         return (jax.random.randint(jax.random.fold_in(key0, r),
-                                   (BLOCK,), 0, n),)
+                                   (BLOCK,), 0, n), x, v)
 
     scale_rec: dict = {}
 
     for impl_name, impl in (("lax", rbf_lax),
                             ("pallas", pallas_rbf.rbf_kernel_pallas)):
         @jax.jit
-        def emoc_block(idx, _impl=impl):
+        def emoc_block(idx, x, v, _impl=impl):
             xc = x[idx]
             k_cross = _impl(x, xc, ls, var)                # (N, BLOCK)
             k_post = k_cross - jnp.dot(
@@ -113,7 +116,7 @@ def run_scale(report: dict, n: int, out: str, *, mat_reps=(2, 6)) -> None:
             return jnp.sum(jnp.abs(k_post), axis=0)        # (BLOCK,)
 
         @jax.jit
-        def density_block(idx, _impl=impl):
+        def density_block(idx, x, v, _impl=impl):
             xc = x[idx]
             return jnp.mean(_impl(xc, x, ls, 1.0), axis=1)  # (BLOCK,)
 
@@ -124,7 +127,7 @@ def run_scale(report: dict, n: int, out: str, *, mat_reps=(2, 6)) -> None:
 
         if n * BLOCK * 4 <= 1 << 31:  # skip the 8 GB-per-call case at 1M
             @jax.jit
-            def materialized(idx, _impl=impl):
+            def materialized(idx, x, v, _impl=impl):
                 k = _impl(x, x[idx], ls, var)               # (N, BLOCK) to HBM
                 # Return k itself so neither path can elide the write; the
                 # scalar leaf is first so the protocol fetches 4 bytes.

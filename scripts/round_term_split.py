@@ -217,7 +217,8 @@ def run_scale_25k(report: dict, out: str = OUT) -> None:
     _write(report, out)
 
 
-def run_scale_1m(report: dict, out: str = OUT) -> None:
+def run_scale_1m(report: dict, out: str = OUT,
+                 corpus_dtype: str | None = None) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -233,7 +234,8 @@ def run_scale_1m(report: dict, out: str = OUT) -> None:
     exclude = jnp.zeros((ds.n,), bool).at[q].set(True)
 
     state = gp_mod.gp_init(jnp.asarray(ds.x), bench.LS, bench.VAR,
-                           bench.NOISE, bench.CAP)
+                           bench.NOISE, bench.CAP,
+                           corpus_dtype=corpus_dtype)
     state = gp_mod.gp_set_query(state, jnp.asarray(q))
     warm = rng.permutation(ds.n)[:8].astype(np.int32)
     ys = np.where(ds.relevance[warm, cls], 1.0, -1.0).astype(np.float32)
@@ -270,6 +272,9 @@ def main() -> int:
     ap.add_argument("--skip-25k", action="store_true")
     ap.add_argument("--out", default=OUT, help="record path (off-path for "
                     "non-chip smoke runs; the committed record is the chip one)")
+    ap.add_argument("--corpus-dtype", default="", help="GP.corpus_dtype for "
+                    "the 1M workload (e.g. bfloat16 — halves the dominant "
+                    "corpus HBM stream of gp_update); use a distinct --out")
     args = ap.parse_args()
 
     report = {
@@ -279,10 +284,12 @@ def main() -> int:
         "select_config": dict(bench.select_kwargs(), pool_size=POOL),
         "batch": bench.BATCH, "cap": bench.CAP,
     }
+    if args.corpus_dtype:
+        report["corpus_dtype"] = args.corpus_dtype
     if not args.skip_25k:
         run_scale_25k(report, args.out)
     if not args.skip_1m:
-        run_scale_1m(report, args.out)
+        run_scale_1m(report, args.out, corpus_dtype=args.corpus_dtype or None)
     return 0
 
 
