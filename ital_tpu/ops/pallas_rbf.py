@@ -23,6 +23,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ital_tpu.ops.kernels import rbf_kernel as _rbf_lax
 
+# Upper bound of the Pallas route's measured win region (see
+# rbf_kernel_auto): pallas_call must materialize the (M, N) output, so past
+# ~1 GB f32 per block the mandatory HBM write loses to XLA's fused tiled
+# reduction (chip A/B 2026-08-19: wins at 100k x 2048 = 205M elems, loses
+# 1.4x at 1M x 2048 = 2G — results/pallas_ab*.json, PROFILE.md section 11).
+MAX_PALLAS_ELEMS = 1 << 28
+
 
 def _rbf_tile_kernel(a_ref, b_ref, inv2l2_ref, var_ref, out_ref):
     """One (TM, TN) tile: k = var * exp(-(|a|^2 + |b|^2 - 2ab) * inv2l2)."""
@@ -102,16 +109,19 @@ def rbf_kernel_pallas(
 
 
 def rbf_kernel_auto(a, b, length_scale, var=1.0):
-    """Fused Pallas tile kernel on TPU for large blocks; lax elsewhere.
+    """Fused Pallas tile kernel on TPU inside its measured win region; lax elsewhere.
 
-    Chip-measured routing (results/pallas_ab.json, PROFILE.md §11,
-    2026-08-19): the Pallas path wins on the REDUCE-ABS consumers — the
-    (N, 2048) EMOC/entropy cross-kernel blocks of
-    ``ops.kernels.blockwise_reduce_abs_kpost`` and
-    ``select/baselines.py`` — 2.2x at N=25k (1.54 vs 3.46 ms/block) and
-    1.12x at N=100k (4.57 vs 5.11).  It LOSES 2.1x on the row-mean density
-    stream at 100k (XLA fuses the mean into the lax kernel; pallas_call must
-    write its tile), so ``models/gp.py::corpus_density`` deliberately calls
+    Chip-measured routing (results/pallas_ab.json + pallas_ab_1m.json,
+    PROFILE.md §11, 2026-08-19): the Pallas path wins on the REDUCE-ABS
+    consumers — the (N, 2048) EMOC/entropy cross-kernel blocks of
+    ``ops.kernels.blockwise_reduce_abs_kpost`` and ``select/baselines.py``
+    — 2.2x at N=25k (1.54 vs 3.46 ms/block) and 1.12x at N=100k (4.57 vs
+    5.11), but LOSES 1.4x at N=1M (41.8 vs 30.1): ``pallas_call`` must
+    materialize the (M, N) tile output (8 GB/block at 1M) while XLA tiles
+    the reduction without it — hence the ``MAX_PALLAS_ELEMS`` cap (2^28
+    elems = 1 GB f32; 100k x 2048 = 205M inside, 1M x 2048 outside).  It
+    also LOSES 2.1x on the row-mean density stream at 100k (the mean fuses
+    even better), so ``models/gp.py::corpus_density`` deliberately calls
     the lax path and does NOT route here.  Small per-candidate blocks
     (< 512 on either dim) can't amortize tile padding — lax.
     """
@@ -120,6 +130,7 @@ def rbf_kernel_auto(a, b, length_scale, var=1.0):
         and a.ndim == 2
         and a.shape[0] >= 512
         and b.shape[0] >= 512
+        and a.shape[0] * b.shape[0] <= MAX_PALLAS_ELEMS
     ):
         return rbf_kernel_pallas(a, b, length_scale, var)
     return _rbf_lax(a, b, length_scale, var)

@@ -50,17 +50,28 @@ def main() -> int:
         ds, ls = mirflickr(), 50.0
     elif CORPUS == "corpus100k":
         ds, ls = corpus100k(), 50.0  # scripts/profile_100k.py conventions
+    elif CORPUS == "corpus1m":
+        # The 1M serving record (scale1m.py's workload behind HTTP).  The
+        # production pool restriction is what makes 1M interactive (full-scan
+        # MI is ~205 ms/round there — results/scale1m.json).
+        ds, ls = corpus100k(n=1_000_000, dim=512), 50.0
     else:
         ds, ls = digits(), 2.2
     # SERVE_TP_FASTSEL=1 serves the round-4 production selection config
-    # (coarse base + refined top-T) service-wide, like
-    # `METHOD.n_qmc=32 METHOD.refine_top=64` in a server config.
+    # (coarse base + refined top-T, pool restriction at 1M) service-wide,
+    # like `METHOD.n_qmc=32 METHOD.refine_top=64` in a server config.
     mkw = ({"n_qmc": 32, "refine_top": 64, "refine_n_qmc": 512}
            if os.environ.get("SERVE_TP_FASTSEL") else {})
+    if mkw and CORPUS == "corpus1m":
+        mkw["pool_size"] = 4096
+    # SERVE_TP_CORPUS_DTYPE=bfloat16 quantizes the service's one shared
+    # corpus copy (GP.corpus_dtype): the 1M HBM/bandwidth lever.
+    cdt = os.environ.get("SERVE_TP_CORPUS_DTYPE", "")
     svc = RetrievalService(
         ds.x, length_scale=ls, var=1.0, noise=0.1, cap=64,
         strategy="ital", label_prob=0.9, mistake_prob=0.05,
         corpus_name=CORPUS, method_kwargs=mkw, mesh_devices=MESH,
+        corpus_dtype=cdt,
     )
     srv = make_server(svc, port=0)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
@@ -135,11 +146,14 @@ def main() -> int:
     }
     report["method_kwargs"] = mkw
     report["mesh_devices"] = MESH
+    if cdt:
+        report["corpus_dtype"] = cdt
     report["platform"] = __import__("jax").devices()[0].platform
     stem = ("serve_throughput" if CORPUS == "digits"
             else f"serve_throughput_{CORPUS}")
     name = (stem + (f"_mesh{MESH}" if MESH else "")
-            + ("_fastsel" if mkw else "") + ".json")
+            + ("_fastsel" if mkw else "")
+            + (f"_{cdt}" if cdt else "") + ".json")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "results", name)
     with open(out, "w") as fh:
