@@ -284,6 +284,47 @@ def gp_update(
     )
 
 
+def stack_session_states(states, *, with_density: bool = True) -> GPState:
+    """Batch K same-corpus session states on a leading cohort axis.
+
+    The canonical cohort stacker shared by the serving endpoints
+    (``ital_tpu.serve``) and the mesh-sharded cohort programs
+    (``ital_tpu.parallel.sharded``).  Call INSIDE a jitted program only: on
+    the host each leaf stack is its own device dispatch, which measured
+    slower than per-session work behind a high-RTT link (serve.py docstring).
+
+    The corpus buffer ``x`` and its cached norms ``x2`` are corpus-shared and
+    stay unbatched; hyperparameters batch (sessions may have learned
+    different values).  ``with_density=False`` drops the density vector from
+    the batched state — correct for programs that never read it
+    (``gp_update``), which lets mixed-density cohorts batch; callers reattach
+    each session's own vector on unstack.  With ``with_density=True`` the
+    caller must have verified the group shares ONE density vector
+    (``serve._density_compatible``).
+    """
+    sts = tuple(states)
+    stack = lambda leaves: jnp.stack(leaves)
+    return GPState(
+        x=sts[0].x,
+        idx=stack([t.idx for t in sts]),
+        y=stack([t.y for t in sts]),
+        valid=stack([t.valid for t in sts]),
+        count=stack([t.count for t in sts]),
+        l=stack([t.l for t in sts]),
+        beta=stack([t.beta for t in sts]),
+        v=stack([t.v for t in sts]),
+        mu=stack([t.mu for t in sts]),
+        sig2=stack([t.sig2 for t in sts]),
+        hyper=GPHyper(
+            length_scale=stack([t.hyper.length_scale for t in sts]),
+            var=stack([t.hyper.var for t in sts]),
+            noise=stack([t.hyper.noise for t in sts]),
+        ),
+        density=(sts[0].density if with_density else None),
+        x2=sts[0].x2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Prediction surface (reference: GaussianProcess.predict_stored /
 # updated_prediction; SURVEY.md sections 3.3-3.4).

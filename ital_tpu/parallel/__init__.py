@@ -15,6 +15,8 @@ from ital_tpu.parallel.mesh import make_mesh  # noqa: F401
 from ital_tpu.parallel.sharded import (  # noqa: F401
     LearnConfig,
     make_sharded_cohort,
+    make_sharded_cohort_select,
+    make_sharded_cohort_update,
     make_sharded_density,
     make_sharded_fit,
     make_sharded_round,

@@ -1343,3 +1343,118 @@ def make_sharded_cohort(
         return fn(state, skeys, relevant, sel_forbid, ap_exclude, params)
 
     return jax.jit(cohort)
+
+
+# ---------------------------------------------------------------------------
+# Serving-side sharded cohorts: K live sessions batched through ONE mesh
+# program per endpoint call (select-only / update-only, no simulated user) —
+# the mesh counterpart of serve.RetrievalService's single-device vmapped
+# cohort endpoints.  States are stacked INSIDE the jitted program
+# (gp_mod.stack_session_states), so the whole call is one dispatch.
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_cohort_select(
+    mesh,
+    *,
+    strategy: str = "ital",
+    batch_size: int = 4,
+    n_qmc: int = 128,
+    block: int = 1024,
+    pool_size: int = 0,
+    subsample_size: int = 0,
+    refine_top: int = 0,
+    refine_n_qmc: int = 512,
+    randomize_qmc: bool = False,
+):
+    """SELECT for a COHORT of serving sessions in one mesh program.
+
+    ``select_fn(states, keys (K,), sel_forbid, params_b) -> (K, batch_size)``
+    — ``states`` is a tuple of K per-session mesh-sharded GPStates over the
+    SAME corpus buffer (and, for density strategies, the same density
+    vector), ``params_b`` a leading-K-stacked StrategyParams.  Semantics
+    match K individual :func:`make_sharded_select` calls with the same keys
+    exactly (the select-only round body is vmapped over the cohort axis
+    inside the shard_map, so per-session math is unchanged and the per-round
+    collectives batch across the cohort — tested in
+    tests/test_serve_sharded.py).  jit re-specializes per cohort size K.
+    """
+    _check_mi_batch(strategy, batch_size)
+    body = _make_round_body(
+        mesh, strategy, batch_size, n_qmc, pool_size, recall_ks=(),
+        block=block, subsample_size=subsample_size, refine_top=refine_top,
+        refine_n_qmc=refine_n_qmc, randomize_qmc=randomize_qmc,
+        select_only=True,
+    )
+    # learn=True axes: hyperparameters batch — serving sessions may have
+    # learned different values (POST /learn is per-session).
+    axes = _cohort_state_axes(learn=True)
+    # params axis is a plain 0: EVERY StrategyParams leaf is stacked by the
+    # caller (serve stacks the whole params pytree, jitter included).
+    _sel_v = jax.vmap(
+        lambda st, key, fb, p: body(st, key, None, fb, None, p),
+        in_axes=(axes, 0, None, 0),
+    )
+
+    def wrapped(states, keys, sel_forbid, params_b):
+        stb = gp_mod.stack_session_states(states)
+        specs = cohort_pspecs(stb)
+        fn = jax.shard_map(
+            _sel_v, mesh=mesh,
+            in_specs=(specs, P(), P(), _PARAM_PSPECS),
+            out_specs=P(), check_vma=False,
+        )
+        return fn(stb, keys, sel_forbid, params_b)
+
+    return jax.jit(wrapped)
+
+
+def make_sharded_cohort_update(mesh):
+    """Vmapped sharded ``gp_update`` for K serving sessions in one program.
+
+    ``update_fn(states, idx (K, b), y (K, b), valid (K, b)) ->
+    (per-session states tuple, counts (K,))`` — the mesh counterpart of
+    serve.RetrievalService._cohort_update.  The density vector is dropped
+    from the batched state (a GP update never reads it, so mixed-density
+    cohorts batch) and each output state gets ITS OWN density back; ``x`` /
+    ``x2`` stay the shared corpus buffers.  Per-session results equal K
+    individual :func:`make_sharded_update` calls (tested).  jit
+    re-specializes per (K, b, cap) signature.
+    """
+    axes = _cohort_state_axes(learn=True)
+    _upd_v = jax.vmap(
+        lambda st, idx, y, valid: gp_mod.gp_update(
+            st, idx, y, valid,
+            gather=lambda gidx: gather_rows(st.x, gidx),
+        ),
+        in_axes=(axes, 0, 0, 0), out_axes=axes,
+    )
+
+    def wrapped(states, idx, y, valid):
+        states = tuple(states)
+        stb = gp_mod.stack_session_states(states, with_density=False)
+        specs = cohort_pspecs(stb)
+        fn = jax.shard_map(
+            _upd_v, mesh=mesh, in_specs=(specs, P(), P(), P()),
+            out_specs=specs, check_vma=False,
+        )
+        nb = fn(stb, idx, y, valid)
+        outs = tuple(
+            GPState(
+                x=states[0].x,
+                idx=nb.idx[j], y=nb.y[j], valid=nb.valid[j],
+                count=nb.count[j], l=nb.l[j], beta=nb.beta[j], v=nb.v[j],
+                mu=nb.mu[j], sig2=nb.sig2[j],
+                hyper=gp_mod.GPHyper(
+                    length_scale=nb.hyper.length_scale[j],
+                    var=nb.hyper.var[j],
+                    noise=nb.hyper.noise[j],
+                ),
+                density=states[j].density,  # each session's own vector
+                x2=states[0].x2,
+            )
+            for j in range(len(states))
+        )
+        return outs, nb.count
+
+    return jax.jit(wrapped)

@@ -56,8 +56,12 @@ select/update/rank runs as a ``shard_map`` program with ICI collectives —
 config-5-scale and beyond-one-chip-HBM corpora become servable (round-4
 VERDICT weak 6).  Single-device behavior is bit-compatible (same key stream
 and update bucketing; tested in tests/test_serve_sharded.py).  The cohort
-endpoints still work but execute per-session (each call is already one
-whole-mesh program); session-batched sharded cohorts are future work.
+endpoints batch on the mesh too: a compatible ``/batch_select`` group runs as
+ONE session-vmapped shard_map program (``make_sharded_cohort_select``) and a
+``/batch_feedback`` group as one vmapped sharded ``gp_update``
+(``make_sharded_cohort_update``) — per-round ICI collectives are paid once
+per cohort instead of once per session, with per-session semantics unchanged
+(tested batch-for-batch against the per-session path).
 """
 
 from __future__ import annotations
@@ -77,35 +81,15 @@ class NotFound(KeyError):
 
 
 def _stack_gpstates(sts):
-    """Batch K GPStates on a leading session axis (x/density stay unbatched —
-    corpus-shared).  Call INSIDE a jitted program only: on the host each leaf
-    stack is its own device dispatch, which measured slower than per-session
-    work behind the tunnel's per-dispatch cost.  Single source of truth for
-    which leaves batch — used by both cohort endpoints."""
-    import jax.numpy as jnp
+    """Batch K GPStates on a leading session axis (x/density/x2 stay
+    unbatched — corpus-shared).  Call INSIDE a jitted program only: on the
+    host each leaf stack is its own device dispatch, which measured slower
+    than per-session work behind the tunnel's per-dispatch cost.  The
+    canonical stacker lives in :func:`ital_tpu.models.gp.stack_session_states`
+    (shared with the mesh-sharded cohort programs)."""
+    from ital_tpu.models.gp import stack_session_states
 
-    from ital_tpu.models.gp import GPHyper, GPState
-
-    stack = lambda leaves: jnp.stack(leaves)
-    return GPState(
-        x=sts[0].x,  # shared corpus buffer, unbatched
-        idx=stack([t.idx for t in sts]),
-        y=stack([t.y for t in sts]),
-        valid=stack([t.valid for t in sts]),
-        count=stack([t.count for t in sts]),
-        l=stack([t.l for t in sts]),
-        beta=stack([t.beta for t in sts]),
-        v=stack([t.v for t in sts]),
-        mu=stack([t.mu for t in sts]),
-        sig2=stack([t.sig2 for t in sts]),
-        hyper=GPHyper(
-            length_scale=stack([t.hyper.length_scale for t in sts]),
-            var=stack([t.hyper.var for t in sts]),
-            noise=stack([t.hyper.noise for t in sts]),
-        ),
-        density=sts[0].density,  # shared, unbatched (may be None)
-        x2=sts[0].x2,  # shared corpus norms, unbatched (may be None)
-    )
+    return stack_session_states(sts)
 
 
 def _density_compatible(sessions) -> bool:
@@ -323,10 +307,6 @@ class RetrievalService:
                 and len({s.state.cap for s in sessions}) == 1
                 and len(kw_groups) == 1  # static options are compile-time
                 and _density_compatible(sessions)
-                # Mesh-sharded sessions select per-session (each select is
-                # already one shard_map program over the whole mesh; a
-                # session-batched sharded cohort select is future work).
-                and self.mesh is None
             )
             if not compatible or len(sessions) == 1:
                 return {sid: [int(i) for i in s.fetch_unlabelled(int(k))]
@@ -342,9 +322,20 @@ class RetrievalService:
             params_b = jax.tree.map(
                 lambda *ls: jnp.stack(ls), *[s.params for s in sessions]
             )
-            fn = self._batched_select(sessions[0].strategy_name, int(k),
-                                      next(iter(kw_groups)))
-            batches = np.asarray(fn(sts, jnp.stack(keys), params_b))
+            if self.mesh is not None:
+                # Session-batched sharded cohort: ONE shard_map program for
+                # the whole group — per-round collectives batch across the
+                # cohort instead of paying cross-chip latency per session.
+                fn = self._sharded_batched_select(
+                    sessions[0].strategy_name, int(k), next(iter(kw_groups))
+                )
+                batches = np.asarray(fn(
+                    sts, jnp.stack(keys), sessions[0]._pad_forbid, params_b
+                ))
+            else:
+                fn = self._batched_select(sessions[0].strategy_name, int(k),
+                                          next(iter(kw_groups)))
+                batches = np.asarray(fn(sts, jnp.stack(keys), params_b))
             return {sid: [int(i) for i in row]
                     for (sid, _, _), row in zip(entries, batches)}
         finally:
@@ -385,6 +376,33 @@ class RetrievalService:
 
             fn = jax.jit(run)
             self._batched_select_cache[key] = fn
+        return fn
+
+    def _sharded_batched_select(self, strategy: str, k: int, kw_items: tuple):
+        """Cached mesh-sharded cohort select (one shard_map program for the
+        whole session group; stacking rides inside the compiled program).
+        ``kw_items`` are already factory-valid — the ShardedRetrieval ctor
+        restricts mesh sessions' method_kwargs to the sharded-select knobs."""
+        key = ("mesh", strategy, k, kw_items)
+        fn = self._batched_select_cache.get(key)
+        if fn is None:
+            from ital_tpu.parallel.sharded import make_sharded_cohort_select
+
+            fn = make_sharded_cohort_select(
+                self.mesh, strategy=strategy, batch_size=k, **dict(kw_items)
+            )
+            self._batched_select_cache[key] = fn
+        return fn
+
+    def _sharded_cohort_update(self):
+        """Cached mesh-sharded cohort ``gp_update`` (jit re-specializes per
+        (K, width, cap) signature)."""
+        fn = self._batched_update_cache.get("mesh")
+        if fn is None:
+            from ital_tpu.parallel.sharded import make_sharded_cohort_update
+
+            fn = make_sharded_cohort_update(self.mesh)
+            self._batched_update_cache["mesh"] = fn
         return fn
 
     def feedback(self, sid: str, labels: Dict[str, int]) -> dict:
@@ -458,10 +476,7 @@ class RetrievalService:
                 )
 
             for (width, _cap), group in groups.items():
-                if len(group) == 1 or self.mesh is not None:
-                    # Mesh-sharded states update per-session: their update is
-                    # already one shard_map program; the vmapped stacked
-                    # update below is the single-device cohort path.
+                if len(group) == 1:
                     for sid, s, items in group:
                         out[sid] = self._apply_feedback_locked(s, dict(items))
                     continue
@@ -477,9 +492,13 @@ class RetrievalService:
                 # gp_update -> unstack.  Doing the stack/unstack op-by-op on
                 # the host costs ~(2 x K x leaves) tiny dispatches, which
                 # measured SLOWER than K individual updates behind the
-                # tunnel's per-dispatch cost.
+                # tunnel's per-dispatch cost.  On a mesh service the same
+                # shape runs as one shard_map program (the per-update
+                # collective gathers batch across the cohort).
                 sts = tuple(s.state for _, s, _ in group)
-                new_states, counts = self._cohort_update(k)(
+                update = (self._sharded_cohort_update()
+                          if self.mesh is not None else self._cohort_update(k))
+                new_states, counts = update(
                     sts, jnp.asarray(idx), jnp.asarray(y), jnp.asarray(valid)
                 )
                 counts = np.asarray(counts)

@@ -89,9 +89,11 @@ def test_sharded_service_never_serves_pad_rows():
     assert all(i < 105 for i in top), f"pad row ranked: {top}"
 
 
-def test_sharded_cohort_endpoints_fall_back_per_session():
-    """/batch_select + /batch_feedback keep exact per-session semantics on a
-    mesh service (they execute per-session there — documented fallback)."""
+def test_sharded_cohort_endpoints_match_single_device():
+    """/batch_select + /batch_feedback BATCH on a mesh service (one
+    session-vmapped shard_map program per call) with exact per-session
+    semantics: two cohort rounds produce the same batches/counts as the
+    single-device service's vmapped cohort path."""
     svc1, svc8 = _pair()
     out = {}
     for svc in (svc1, svc8):
@@ -102,11 +104,54 @@ def test_sharded_cohort_endpoints_fall_back_per_session():
         fb = {sid: {str(i): 1 if i < 35 else -1 for i in batches[sid]}
               for sid in sids}
         counts = svc.feedback_many(fb)
+        # Second round: the batched update's states must keep selecting
+        # identically (pins the unstacked sharded states, not just counts).
+        batches2 = svc.next_batch_many(sids, 3)
         out[id(svc)] = (
-            [batches[s] for s in sids], [counts[s]["labeled"] for s in sids]
+            [batches[s] for s in sids], [counts[s]["labeled"] for s in sids],
+            [batches2[s] for s in sids],
         )
-    (b1, c1), (b8, c8) = out.values()
-    assert b1 == b8 and c1 == c8
+    (b1, c1, b1b), (b8, c8, b8b) = out.values()
+    assert b1 == b8 and c1 == c8 and b1b == b8b
+
+
+def test_sharded_cohort_select_matches_per_session_mesh():
+    """The session-vmapped sharded cohort select picks the EXACT batches the
+    per-session sharded select picks with the same key stream (the vmap is
+    a throughput detail, never a semantics change)."""
+    x = _toy_corpus()
+    base = dict(length_scale=2.5, noise=0.1, cap=24, strategy="ital",
+                label_prob=1.0, mistake_prob=0.0, corpus_name="toy")
+    svc_cohort = RetrievalService(x, **base, mesh_devices=N_DEV)
+    svc_solo = RetrievalService(x, **base, mesh_devices=N_DEV)
+    sids_c = [svc_cohort.create_session() for _ in range(3)]
+    sids_s = [svc_solo.create_session() for _ in range(3)]
+    for j, (sc, ss) in enumerate(zip(sids_c, sids_s)):
+        svc_cohort.set_query(sc, 5 + j)
+        svc_solo.set_query(ss, 5 + j)
+    cohort = svc_cohort.next_batch_many(sids_c, 3)
+    solo = {ss: svc_solo.next_batch(ss, 3) for ss in sids_s}
+    assert [cohort[sc] for sc in sids_c] == [solo[ss] for ss in sids_s]
+
+
+def test_sharded_cohort_production_config_and_fallback():
+    """Production pool/two-stage knobs ride the sharded cohort select; a
+    mixed-kwargs group falls back per-session with identical results."""
+    mkw = {"pool_size": 48, "n_qmc": 32, "refine_top": 8, "refine_n_qmc": 64}
+    svc1, svc8 = _pair(method_kwargs=mkw)
+    out = {}
+    for svc in (svc1, svc8):
+        sids = [svc.create_session() for _ in range(2)]
+        # A third session with DIFFERENT static options -> the group is
+        # incompatible and the endpoint must fall back per-session.
+        sids.append(svc.create_session(method_kwargs={"n_qmc": 64}))
+        for j, sid in enumerate(sids):
+            svc.set_query(sid, 4 + j)
+        mixed = svc.next_batch_many(sids, 3)
+        homog = svc.next_batch_many(sids[:2], 3)
+        out[id(svc)] = ([mixed[s] for s in sids], [homog[s] for s in sids[:2]])
+    (m1, h1), (m8, h8) = out.values()
+    assert m1 == m8 and h1 == h8
 
 
 def test_sharded_snapshot_restore_roundtrip():
