@@ -258,12 +258,23 @@ def _resolve_platform() -> str:
     """
     import jax
 
+    def _cpu_cache_hygiene():
+        # Same rule as __graft_entry__._provision_devices: XLA:CPU AOT cache
+        # entries embed host machine features, and a cache written on a
+        # different machine can SIGILL on load — on any CPU path, drop the
+        # persistent cache (compiles here are seconds; it buys nothing).
+        os.environ["ITAL_TPU_NO_CACHE"] = "1"
+        jax.config.update("jax_compilation_cache_dir", None)
+
+    if os.environ.get("ITAL_TPU_PLATFORM") == "cpu":
+        _cpu_cache_hygiene()
     try:
         return jax.devices()[0].platform
     except RuntimeError as exc:
         sys.stderr.write(
             f"bench: device backend unavailable ({exc}); "
             "falling back to the CPU platform\n")
+        _cpu_cache_hygiene()
         jax.config.update("jax_platforms", "cpu")
         return jax.devices()[0].platform
 
@@ -327,14 +338,22 @@ def main() -> int:
     if cpu_ms is None:
         cpu_ms = time_cpu(ds, idx, ys, batch)
 
-    print(json.dumps({
+    print(json.dumps(bench_record(tpu_ms, cpu_ms, platform)))
+    return 0
+
+
+def bench_record(tpu_ms: float, cpu_ms: float, platform: str) -> dict:
+    """The driver-contract output record — exactly the keys the gate parses
+    (one JSON line: metric/value/unit/vs_baseline).  Kept as a function so
+    tests/test_bench_contract.py can pin the schema without running the
+    full MIRFLICKR-scale benchmark."""
+    return {
         "metric": "mi_selection_ms_per_round_mirflickr25k_b4",
         "value": round(tpu_ms, 3),
         "unit": "ms",
         "vs_baseline": round(cpu_ms / tpu_ms, 2),
         "platform": platform,
-    }))
-    return 0
+    }
 
 
 if __name__ == "__main__":

@@ -194,3 +194,18 @@ def test_scan_not_hoisted_with_qmc_key():
         f"selection was hoisted out of the loop; the bench protocol is "
         f"measuring fiction"
     )
+
+
+def test_bench_record_schema():
+    """The driver gate parses ONE JSON line with these exact keys (ADVICE r4:
+    a missing/renamed bench must not pass vacuously — repo-side, the schema
+    itself is pinned so a refactor can't silently drop a contract field)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    assert os.path.exists(os.path.join(REPO, "bench.py"))
+    rec = bench.bench_record(1.55, 93210.0, "tpu")
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline", "platform"}
+    assert rec["unit"] == "ms" and rec["value"] == 1.55
+    assert rec["vs_baseline"] == round(93210.0 / 1.55, 2)
+    json.dumps(rec)  # one parseable JSON object
