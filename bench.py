@@ -164,8 +164,10 @@ def time_tpu(ds, idx, ys) -> float:
     # reps amortizes the fixed ~45 ms dispatch+RTT: §9's chip table measured
     # 3.17 ms/round at reps=16 -> 1.85 at reps=64 (device estimate ~1.4);
     # reps=256 pushes the fixed term to ~0.2 ms/round, approaching steady
-    # production streaming (total wall/trial still < 1 s).
-    reps = 256
+    # production streaming (total wall/trial still < 1 s).  The env override
+    # exists for protocol probes (reps sweeps through the EXACT bench path);
+    # the default is the protocol of record.
+    reps = int(os.environ.get("ITAL_TPU_BENCH_REPS", 256))
     run = make_scan_run(params)
     key = jax.random.PRNGKey(0)
     np.asarray(run(state, jax.random.split(key, reps)))  # compile + real sync

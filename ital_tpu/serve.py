@@ -67,6 +67,7 @@ per cohort instead of once per session, with per-session semantics unchanged
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -276,6 +277,32 @@ class RetrievalService:
         with lock:
             return [int(i) for i in sess.fetch_unlabelled(int(k))]
 
+    def _max_cohort_sessions(self, cap: int, copies: int) -> int:
+        """Largest session group whose stacked cohort program fits HBM.
+
+        The dominant per-session in-program cost is the (cap, N) whitened
+        buffer ``v``: a stacked SELECT holds ~1 transient copy (the stack —
+        outputs are (k, b) index rows); a stacked UPDATE holds ~3 (stacked
+        input, updated output, unstacked per-session results), on top of the
+        live per-session states and the shared corpus.  ``copies`` is that
+        multiplier.  The budget is conservative on purpose — corpus, live
+        states, and cached executables share the same HBM
+        (``ITAL_TPU_COHORT_STATE_BYTES`` overrides; default 3 GiB).
+
+        At MIRFLICKR/100k scale the bound is far above any realistic cohort
+        (cap=64 → hundreds of sessions); it engages at 1M+ scale, where the
+        UNchunked 8-session ``batch_feedback`` measured RESOURCE_EXHAUSTED
+        on the chip (2026-08-19) while the same cohort's ``batch_select``
+        (1 copy, 2 GB) ran — chunking turns that hard 500 into two
+        4-session programs.  On a mesh service ``v`` is corpus-sharded, so
+        the per-device cost divides by the mesh size.
+        """
+        budget = int(os.environ.get("ITAL_TPU_COHORT_STATE_BYTES", 3 << 30))
+        per = copies * int(cap) * int(self.x.shape[0]) * 4
+        if self.mesh is not None:
+            per //= self.mesh.size
+        return max(1, budget // max(per, 1))
+
     def next_batch_many(self, sids: list, k: int) -> Dict[str, list]:
         """Select for MANY sessions in one vmapped device program.
 
@@ -284,11 +311,10 @@ class RetrievalService:
         a leading session axis over the shared corpus, and one compiled
         selection scores every session at once.  Requires identical strategy
         and capacity across the group (the server-default case); otherwise
-        falls back to per-session selection with identical results.
+        falls back to per-session selection with identical results.  Groups
+        larger than the HBM budget (``_max_cohort_sessions``) run as several
+        stacked programs — same per-session semantics, bounded peak memory.
         """
-        import jax
-        import jax.numpy as jnp
-
         sids = list(dict.fromkeys(sids))  # dedup: same lock must not re-acquire
         entries = [(sid, *self._entry(sid)) for sid in sids]
         # Lock in a canonical order (deadlock-free vs concurrent groups).
@@ -312,35 +338,48 @@ class RetrievalService:
                 return {sid: [int(i) for i in s.fetch_unlabelled(int(k))]
                         for sid, s, _ in entries}
 
-            keys = []
-            for s in sessions:
-                s._key, sub = jax.random.split(s._key)
-                keys.append(sub)
-            # State stacking happens INSIDE the jitted program (one dispatch;
-            # per-leaf host-side stacks each cost a dispatch on this tunnel).
-            sts = tuple(s.state for s in sessions)
-            params_b = jax.tree.map(
-                lambda *ls: jnp.stack(ls), *[s.params for s in sessions]
-            )
-            if self.mesh is not None:
-                # Session-batched sharded cohort: ONE shard_map program for
-                # the whole group — per-round collectives batch across the
-                # cohort instead of paying cross-chip latency per session.
-                fn = self._sharded_batched_select(
-                    sessions[0].strategy_name, int(k), next(iter(kw_groups))
-                )
-                batches = np.asarray(fn(
-                    sts, jnp.stack(keys), sessions[0]._pad_forbid, params_b
-                ))
-            else:
-                fn = self._batched_select(sessions[0].strategy_name, int(k),
-                                          next(iter(kw_groups)))
-                batches = np.asarray(fn(sts, jnp.stack(keys), params_b))
-            return {sid: [int(i) for i in row]
-                    for (sid, _, _), row in zip(entries, batches)}
+            limit = self._max_cohort_sessions(sessions[0].state.cap, 1)
+            out: Dict[str, list] = {}
+            for i in range(0, len(entries), limit):
+                out.update(self._select_cohort_locked(
+                    entries[i:i + limit], int(k), next(iter(kw_groups))))
+            return out
         finally:
             for _, _, lock in entries:
                 lock.release()
+
+    def _select_cohort_locked(self, entries, k: int,
+                              kw_items: tuple) -> Dict[str, list]:
+        """One stacked-select program for a compatible, already-locked group."""
+        import jax
+        import jax.numpy as jnp
+
+        sessions = [s for _, s, _ in entries]
+        keys = []
+        for s in sessions:
+            s._key, sub = jax.random.split(s._key)
+            keys.append(sub)
+        # State stacking happens INSIDE the jitted program (one dispatch;
+        # per-leaf host-side stacks each cost a dispatch on this tunnel).
+        sts = tuple(s.state for s in sessions)
+        params_b = jax.tree.map(
+            lambda *ls: jnp.stack(ls), *[s.params for s in sessions]
+        )
+        if self.mesh is not None:
+            # Session-batched sharded cohort: ONE shard_map program for
+            # the whole group — per-round collectives batch across the
+            # cohort instead of paying cross-chip latency per session.
+            fn = self._sharded_batched_select(
+                sessions[0].strategy_name, k, kw_items
+            )
+            batches = np.asarray(fn(
+                sts, jnp.stack(keys), sessions[0]._pad_forbid, params_b
+            ))
+        else:
+            fn = self._batched_select(sessions[0].strategy_name, k, kw_items)
+            batches = np.asarray(fn(sts, jnp.stack(keys), params_b))
+        return {sid: [int(i) for i in row]
+                for (sid, _, _), row in zip(entries, batches)}
 
     def _batched_select(self, strategy: str, k: int, kw_items: tuple = ()):
         """Cached jitted stack -> vmapped strategy over the session axis
@@ -475,36 +514,48 @@ class RetrievalService:
                     (sid, s, items)
                 )
 
-            for (width, _cap), group in groups.items():
-                if len(group) == 1:
-                    for sid, s, items in group:
-                        out[sid] = self._apply_feedback_locked(s, dict(items))
-                    continue
-                k = len(group)
-                idx = np.zeros((k, width), np.int32)
-                y = np.zeros((k, width), np.float32)
-                for j, (_, _, items) in enumerate(group):
-                    idx[j, : len(items)] = [i for i, _ in items]
-                    y[j, : len(items)] = [v for _, v in items]
-                valid = y != 0.0
+            for (width, cap), full_group in groups.items():
+                # HBM budget: a stacked update holds ~3 copies of the
+                # (k, cap, N) whitened buffer — split oversized groups into
+                # budget-sized programs (identical per-session semantics;
+                # the unchunked 8-session update RESOURCE_EXHAUSTED at 1M).
+                limit = self._max_cohort_sessions(cap, 3)
+                chunks = [full_group[i:i + limit]
+                          for i in range(0, len(full_group), limit)]
+                for group in chunks:
+                    if len(group) == 1:
+                        for sid, s, items in group:
+                            out[sid] = self._apply_feedback_locked(
+                                s, dict(items))
+                        continue
+                    k = len(group)
+                    idx = np.zeros((k, width), np.int32)
+                    y = np.zeros((k, width), np.float32)
+                    for j, (_, _, items) in enumerate(group):
+                        idx[j, : len(items)] = [i for i, _ in items]
+                        y[j, : len(items)] = [v for _, v in items]
+                    valid = y != 0.0
 
-                # ONE compiled program per group: stack K states -> vmapped
-                # gp_update -> unstack.  Doing the stack/unstack op-by-op on
-                # the host costs ~(2 x K x leaves) tiny dispatches, which
-                # measured SLOWER than K individual updates behind the
-                # tunnel's per-dispatch cost.  On a mesh service the same
-                # shape runs as one shard_map program (the per-update
-                # collective gathers batch across the cohort).
-                sts = tuple(s.state for _, s, _ in group)
-                update = (self._sharded_cohort_update()
-                          if self.mesh is not None else self._cohort_update(k))
-                new_states, counts = update(
-                    sts, jnp.asarray(idx), jnp.asarray(y), jnp.asarray(valid)
-                )
-                counts = np.asarray(counts)
-                for j, (sid, s, _) in enumerate(group):
-                    s.state = new_states[j]
-                    out[sid] = {"labeled": int(counts[j])}
+                    # ONE compiled program per group: stack K states ->
+                    # vmapped gp_update -> unstack.  Doing the stack/unstack
+                    # op-by-op on the host costs ~(2 x K x leaves) tiny
+                    # dispatches, which measured SLOWER than K individual
+                    # updates behind the tunnel's per-dispatch cost.  On a
+                    # mesh service the same shape runs as one shard_map
+                    # program (the per-update collective gathers batch
+                    # across the cohort).
+                    sts = tuple(s.state for _, s, _ in group)
+                    update = (self._sharded_cohort_update()
+                              if self.mesh is not None
+                              else self._cohort_update(k))
+                    new_states, counts = update(
+                        sts, jnp.asarray(idx), jnp.asarray(y),
+                        jnp.asarray(valid)
+                    )
+                    counts = np.asarray(counts)
+                    for j, (sid, s, _) in enumerate(group):
+                        s.state = new_states[j]
+                        out[sid] = {"labeled": int(counts[j])}
             return out
         finally:
             for _, _, lock in entries:

@@ -38,8 +38,16 @@ def _req(url, method="GET", body=None):
     data = json.dumps(body).encode() if body is not None else None
     req = urllib.request.Request(url, data=data, method=method,
                                  headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req) as resp:
-        return json.loads(resp.read())
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+    except urllib.error.HTTPError as exc:
+        # The daemon puts the handler exception in the 500 body — surface it
+        # (a bare HTTPError hides the one line that says WHY, e.g. the 1M
+        # cohort-update RESOURCE_EXHAUSTED this script first found).
+        sys.stderr.write(f"{url}: HTTP {exc.code}: "
+                         f"{exc.read().decode(errors='replace')[:2000]}\n")
+        raise
 
 
 def main() -> int:

@@ -606,3 +606,56 @@ def test_batch_select_duplicate_ids_no_deadlock(server):
     # The session is still usable afterwards (lock released).
     code, r = _req(f"{server}/sessions/{sid}/batch?k=2")
     assert code == 200
+
+
+def test_cohort_chunking_matches_unchunked(server, monkeypatch):
+    """HBM-budget chunking (ITAL_TPU_COHORT_STATE_BYTES) splits oversized
+    cohort groups into several stacked programs with IDENTICAL per-session
+    results.  The knob exists because the unchunked 8-session batch_feedback
+    RESOURCE_EXHAUSTED on the chip at 1M x 512 (stacked update holds ~3
+    copies of the (k, cap, N) whitened buffer) while the same cohort's
+    batch_select ran — results/serve_throughput_corpus1m log, 2026-08-19."""
+    def make(q):
+        _, r = _req(f"{server}/sessions", "POST", {})
+        sid = r["session_id"]
+        _req(f"{server}/sessions/{sid}/query", "POST", {"index": q})
+        _req(f"{server}/sessions/{sid}/feedback", "POST",
+             {"labels": {str((q + 13) % 120): 1, str((q + 41) % 120): 1,
+                         str((q + 67) % 120): -1, str((q + 95) % 120): -1}})
+        return sid
+
+    queries = (2, 29, 51, 76, 103)
+    chunked = [make(q) for q in queries]
+    twins = [make(q) for q in queries]
+
+    # cap=32, N=120: one stacked-select copy is 32*120*4 = 15360 B/session.
+    # Budget for exactly 2 sessions per select program -> 3 chunks of (2,2,1).
+    monkeypatch.setenv("ITAL_TPU_COHORT_STATE_BYTES", str(2 * 32 * 120 * 4))
+    code, r = _req(f"{server}/batch_select", "POST",
+                   {"session_ids": chunked, "k": 3})
+    assert code == 200
+    monkeypatch.delenv("ITAL_TPU_COHORT_STATE_BYTES")
+    code2, r2 = _req(f"{server}/batch_select", "POST",
+                     {"session_ids": twins, "k": 3})
+    assert code2 == 200
+    for sc, st in zip(chunked, twins):
+        assert r["batches"][sc] == r2["batches"][st]
+
+    # Update chunking: ~3 copies/session -> budget for 2 sessions/program.
+    labels = [{str((q + 7) % 120): 1, str((q + 88) % 120): -1}
+              for q in queries]
+    monkeypatch.setenv("ITAL_TPU_COHORT_STATE_BYTES",
+                       str(2 * 3 * 32 * 120 * 4))
+    code, r = _req(f"{server}/batch_feedback", "POST",
+                   {"feedback": dict(zip(chunked, labels))})
+    assert code == 200
+    monkeypatch.delenv("ITAL_TPU_COHORT_STATE_BYTES")
+    code2, r2 = _req(f"{server}/batch_feedback", "POST",
+                     {"feedback": dict(zip(twins, labels))})
+    assert code2 == 200
+    for sc, st in zip(chunked, twins):
+        assert r["sessions"][sc] == r2["sessions"][st]
+        _, rc = _req(f"{server}/sessions/{sc}/ranking?k=15")
+        _, rt = _req(f"{server}/sessions/{st}/ranking?k=15")
+        assert rc["top"] == rt["top"]
+        np.testing.assert_allclose(rc["scores"], rt["scores"], atol=1e-4)
