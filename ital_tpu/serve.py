@@ -287,17 +287,21 @@ class RetrievalService:
         live per-session states and the shared corpus.  ``copies`` is that
         multiplier.  The budget is conservative on purpose — corpus, live
         states, and cached executables share the same HBM
-        (``ITAL_TPU_COHORT_STATE_BYTES`` overrides; default 3 GiB).
+        (``ITAL_TPU_COHORT_STATE_BYTES`` overrides; default 1.5 GiB).
 
         At MIRFLICKR/100k scale the bound is far above any realistic cohort
-        (cap=64 → hundreds of sessions); it engages at 1M+ scale, where the
-        UNchunked 8-session ``batch_feedback`` measured RESOURCE_EXHAUSTED
-        on the chip (2026-08-19) while the same cohort's ``batch_select``
-        (1 copy, 2 GB) ran — chunking turns that hard 500 into two
-        4-session programs.  On a mesh service ``v`` is corpus-sharded, so
-        the per-device cost divides by the mesh size.
+        (cap=64 → dozens of sessions; the recorded 8-session cohorts are
+        untouched); it engages at 1M+ scale, where the UNchunked 8-session
+        ``batch_feedback`` measured RESOURCE_EXHAUSTED on the chip
+        (2026-08-19) while the same cohort's ``batch_select`` (1 copy, 2 GB)
+        ran.  The default was then CALIBRATED on the chip at 1M x 512 bf16
+        with 8 live sessions: update chunks of 2 run, chunks of 4 still
+        exhaust HBM — 1.5 GiB maps 1M to the measured-working chunk and
+        leaves ≤100k cohorts unchunked.  On a mesh service ``v`` is
+        corpus-sharded, so the per-device cost divides by the mesh size.
         """
-        budget = int(os.environ.get("ITAL_TPU_COHORT_STATE_BYTES", 3 << 30))
+        budget = int(os.environ.get("ITAL_TPU_COHORT_STATE_BYTES",
+                                    1536 << 20))
         per = copies * int(cap) * int(self.x.shape[0]) * 4
         if self.mesh is not None:
             per //= self.mesh.size
