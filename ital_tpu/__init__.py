@@ -65,13 +65,23 @@ if not _os.environ.get("ITAL_TPU_NO_CACHE"):
     import jax as _jax
 
     # Scope the cache by a host fingerprint: CPU AOT artifacts compiled with
-    # different machine features SIGILL when loaded on another host.
+    # different machine features SIGILL when loaded on another host.  The
+    # fingerprint takes every stable identity field cpuinfo offers (flags +
+    # model name + stepping + microcode) plus the jax version — but note it
+    # CANNOT capture LLVM-detected tuning preferences (prefer-no-scatter/
+    # gather), so gate paths (__graft_entry__) disable the cache outright on
+    # CPU instead of trusting this scoping.
     try:
         with open("/proc/cpuinfo") as _fh:
-            _flags = next((l for l in _fh if l.startswith("flags")), _platform.machine())
+            _id_fields = ("flags", "model name", "stepping", "microcode")
+            _seen = set()
+            for _l in _fh:
+                if _l.split(":")[0].strip() in _id_fields:
+                    _seen.add(_l.strip())
+            _flags = "|".join(sorted(_seen)) or _platform.machine()
     except OSError:
         _flags = _platform.machine()
-    _fp = _hashlib.sha1(_flags.encode()).hexdigest()[:10]
+    _fp = _hashlib.sha1(f"{_flags}|jax={_jax.__version__}".encode()).hexdigest()[:10]
     _cache_dir = _os.environ.get(
         "ITAL_TPU_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache", f"ital_tpu_xla_{_fp}"),
